@@ -1,0 +1,138 @@
+"""Static sizing + tunable parameters for the TPU-native MCPTAM rebuild.
+
+The reference (aharmat/mcptam) uses dynamic pointer graphs (std::map keyed by
+camera name, std::list of MapPoint*, per-level std::vector<Candidate>) guarded
+by mutexes.  On TPU everything under jit must have static shape, so every
+dynamic collection becomes a fixed-capacity array + validity mask.  The
+capacities below are sized from the reference's own budget knobs
+(reference: src/Tracker.cc:69-84 snMaxPatchesPerFrame=1000;
+src/MapMakerServerBase.cc:56-64 init points per level;
+include/mcptam/CameraGroupSubscriber.h:144-146 max 8 cameras/group;
+include/mcptam/KeyFrame.h:85 LEVELS=4).
+
+Tunables mirror the reference's ~45 static parameters loaded in
+include/mcptam/LoadStaticParams{General,Client,Server}.h, but live in a
+flax.struct dataclass so they can be closed over by jitted functions
+(static fields) or traced (float thresholds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# ---------------------------------------------------------------------------
+# Hard static sizes (shape-determining; changing these retriggers compilation)
+# ---------------------------------------------------------------------------
+
+LEVELS = 4  # pyramid levels, reference include/mcptam/KeyFrame.h:85
+
+# Max cameras in a rig (reference caps synchronized groups at 8:
+# include/mcptam/CameraGroupSubscriber.h:144-146).
+MAX_CAMERAS = 8
+
+# Map capacities (reference is unbounded; sized generously vs. typical PTAM
+# maps of a few thousand points / tens of keyframes).
+MAX_POINTS = 4096
+MAX_MKFS = 48
+
+# Per-level FAST corner capacity (fixed lists replace the reference's
+# row-LUT + std::vector<ImageRef> per level, src/KeyFrame.cc:348-355).
+MAX_CORNERS_PER_LEVEL = (2048, 1024, 512, 256)
+
+# Candidate (corner good enough to become a map point) capacity per level
+# (reference keeps top 80% by score, src/KeyFrame.cc:417-452).
+MAX_CANDIDATES_PER_LEVEL = (512, 256, 128, 64)
+
+# Measurement capacity for bundle adjustment flat arrays.
+MAX_MEAS = 32768
+
+# Patch size used by PatchFinder templates (reference src/PatchFinder.h: 8x8
+# zero-mean SSD patches).
+PATCH_SIZE = 8
+
+# SmallBlurryImage size (reference src/SmallBlurryImage.cc:50).
+SBI_SIZE = (30, 40)  # rows, cols
+
+# Degree cap for the inverse Taylor polynomial fit
+# (reference include/mcptam/TaylorCamera.h:74 MAX_INV_DEGREE=30).
+MAX_INV_DEGREE = 30
+
+
+# ---------------------------------------------------------------------------
+# Tunables (runtime parameters; mirror LoadStaticParams* defaults)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Tracking front-end tunables (reference src/Tracker.cc:69-84)."""
+
+    max_patches_per_frame: int = 1000
+    min_patches_per_frame: int = 10
+    coarse_min: int = 15
+    coarse_max: int = 60
+    coarse_range: int = 30         # search radius (px) in coarse stage
+    coarse_sub_pix_its: int = 8
+    fine_range_first: int = 10     # fine search radius for L0 when no coarse
+    fine_range: int = 5            # fine search radius otherwise
+    coarse_iterations: int = 10
+    fine_iterations: int = 10
+    quality_good: float = 0.3      # found/attempted ratio thresholds
+    quality_bad: float = 0.13      # (reference src/Tracker.cc:1576-1658)
+    lost_frame_thresh: int = 3
+    collect_all_points: bool = True
+    tracking_prior: float = 100.0  # WLS prior (reference src/Tracker.cc:1391)
+    mest_sigma_min: float = 0.4    # min sigma-squared floor
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Pyramid/FAST tunables (reference src/KeyFrame.cc:64-71,247-342)."""
+
+    min_fast_thresh: int = 5
+    max_fast_thresh: int = 60
+    fixed_thresholds: tuple = (10, 15, 15, 10)
+    adaptive_thresh: bool = True
+    # target corner-count derivative: -W*H/dAdaptTarget (reference
+    # src/KeyFrame.cc:288, sdAdaptThreshTarget default)
+    adapt_target_divisor: float = 500.0
+    candidate_top_fraction: float = 0.8
+    shi_tomasi_radius: int = 1     # 3x3 window
+
+
+@dataclasses.dataclass(frozen=True)
+class MapMakerConfig:
+    """Map-maker tunables (reference src/MapMakerServerBase.cc:56-64,
+    src/MapMakerClientBase.cc (queue heuristics), src/MapMaker.cc)."""
+
+    init_depth: float = 3.0
+    min_map_points: int = 20
+    max_scaled_mkf_dist: float = 0.3
+    min_outliers: int = 20
+    outlier_multiplier: float = 1.0
+    init_cov_thresh: float = 1.0
+    max_consecutive_failed_ba: int = 5
+    # epipolar search
+    epi_max_hypotheses: int = 64   # arc samples (ref steps arc at ~3px)
+    max_new_points_per_level: tuple = (100, 100, 100, 100)
+
+
+@dataclasses.dataclass(frozen=True)
+class BundleConfig:
+    """LM bundle-adjustment tunables (reference src/ChainBundle.cc:1132-1136)."""
+
+    max_iterations: int = 100
+    update_rms_conv: float = 1e-10
+    residual_delta_conv: float = 1e-10
+    min_sigma_px: float = 0.5
+    lambda_init: float = 1e-4
+    lambda_up: float = 10.0
+    lambda_down: float = 0.1
+    tukey_outlier_sigmas: float = 4.6851  # tukey hard cutoff c
+    recent_num: int = 3                    # local BA window, BundleAdjusterBase.cc:48
+    recent_min_size: int = 8
+
+
+DEFAULT_TRACKER = TrackerConfig()
+DEFAULT_FEATURES = FeatureConfig()
+DEFAULT_MAPMAKER = MapMakerConfig()
+DEFAULT_BUNDLE = BundleConfig()

@@ -1,0 +1,295 @@
+"""Taylor (Scaramuzza) omnidirectional camera model, batched & jit-friendly.
+
+TPU-native re-implementation of the reference's ``TaylorCamera``
+(/root/reference/src/TaylorCamera.cc).  The model:
+
+  * 9 parameters: polynomial a0,a2,a3,a4 (a1 == 0), projection center
+    (xc, yc), affine sensor->image params (c, d, e);
+  * unprojection: sensor radius rho -> z via the quartic
+    ``poly(rho) = a0 + a2 rho^2 + a3 rho^3 + a4 rho^4``;
+  * projection: elevation angle theta -> rho via a precomputed *inverse*
+    polynomial fitted on the host at camera-construction time (mirroring
+    ``RefreshParams``/``FindInvPolyUsingRoots``, src/TaylorCamera.cc:84-198,
+    489-604) — no iterative root solving on the device hot path.
+
+Pixel convention matches the reference/CVD: ``uv[0] = x = column``,
+``uv[1] = y = row``; images are indexed ``img[y, x]``.
+
+The device-side struct (:class:`CameraModel`) holds only arrays, so a rig of
+N cameras is one struct with a leading camera axis (stack with
+:func:`stack_cameras`) and every function vmaps/broadcasts over it — this is
+the batching axis the reference loops over by camera name
+(src/Tracker.cc:303-333 etc.).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from mcptam_tpu.config import MAX_INV_DEGREE
+
+_INV_LEN = MAX_INV_DEGREE + 1
+
+
+def polyval(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Horner evaluation; ``coeffs[..., i]`` multiplies ``x**i`` (constant
+    first, same storage as the reference's PolyVal).  Static unrolled loop
+    over the (small, fixed) coefficient count."""
+    n = coeffs.shape[-1]
+    val = jnp.zeros_like(x)
+    for i in range(n - 1, 0, -1):
+        val = (val + coeffs[..., i]) * x
+    return val + coeffs[..., 0]
+
+
+@struct.dataclass
+class CameraModel:
+    """Device-side camera(s).  All fields may carry leading batch dims."""
+
+    poly: jnp.ndarray        # (...,5)  [a0, 0, a2, a3, a4]
+    poly_deriv_mod: jnp.ndarray  # (...,5) coeffs for d_rho/d_theta denominator
+    inv_poly: jnp.ndarray    # (...,_INV_LEN) inverse fit, padded with zeros
+    theta_mean: jnp.ndarray  # (...)
+    theta_std: jnp.ndarray   # (...)
+    center: jnp.ndarray      # (...,2)
+    affine: jnp.ndarray      # (...,2,2)
+    affine_inv: jnp.ndarray  # (...,2,2)
+    image_size: jnp.ndarray  # (...,2)  (width, height) as float
+    min_theta: jnp.ndarray   # (...)
+    max_rho: jnp.ndarray     # (...)
+    one_pixel_angle: jnp.ndarray  # (...)
+
+    @property
+    def batch_shape(self):
+        return self.theta_mean.shape
+
+    def __getitem__(self, idx) -> "CameraModel":
+        import jax
+        return jax.tree_util.tree_map(lambda a: a[idx], self)
+
+
+# ---------------------------------------------------------------------------
+# Host-side construction (numpy; mirrors RefreshParams)
+# ---------------------------------------------------------------------------
+
+def _forward_theta_of_rho(poly: np.ndarray, rho: np.ndarray) -> np.ndarray:
+    """theta such that poly(rho) = rho * tan(theta)."""
+    z = np.polyval(poly[::-1], rho)
+    return np.arctan2(z, rho)
+
+
+def make_camera(
+    params9,
+    calib_size,
+    full_scale_size=None,
+    image_size=None,
+    dtype=jnp.float32,
+) -> CameraModel:
+    """Build a :class:`CameraModel` from the 9-vector + sizes.
+
+    ``calib_size``/``full_scale_size``/``image_size`` are (width, height);
+    scaling/centering semantics follow src/TaylorCamera.cc:114-190 (binning
+    support: polynomial evaluated at full-scale radii, centers/affine scaled
+    to the current image size).
+    """
+    params9 = np.asarray(params9, dtype=np.float64)
+    calib_size = np.asarray(calib_size, dtype=np.float64)
+    full_scale_size = (
+        calib_size if full_scale_size is None
+        else np.asarray(full_scale_size, dtype=np.float64)
+    )
+    image_size = (
+        full_scale_size if image_size is None
+        else np.asarray(image_size, dtype=np.float64)
+    )
+
+    a0, a2, a3, a4, xc, yc, c, d, e = params9
+    poly = np.array([a0, 0.0, a2, a3, a4])
+    # Coeffs of the denominator of d_rho/d_theta = (rho^2+w^2)/(-a0 + a2 rho^2
+    # + 2 a3 rho^3 + 3 a4 rho^4)  (src/TaylorCamera.cc:106-110,355-358)
+    poly_deriv_mod = np.array([-a0, 0.0, a2, 2.0 * a3, 3.0 * a4])
+
+    scale = image_size / full_scale_size
+    full_scale_center = np.array([
+        xc - (calib_size[0] - full_scale_size[0]) / 2.0,
+        yc - (calib_size[1] - full_scale_size[1]) / 2.0,
+    ])
+    center = full_scale_center * scale
+
+    corner = np.maximum(full_scale_center, full_scale_size - full_scale_center - 1.0)
+    max_rho = float(np.sqrt(np.sum(corner**2)))
+    min_theta = float(np.arctan(np.polyval(poly[::-1], max_rho) / max_rho))
+
+    # ---- inverse polynomial fit (host) ----------------------------------
+    # Sample rho densely, keep the region where theta(rho) is strictly
+    # monotonic (single-root region of the model), then least-squares fit
+    # rho as a polynomial of the centered/scaled theta, raising the degree
+    # until max abs error < 1e-4 px (same acceptance as the reference,
+    # src/TaylorCamera.cc:157,489-604).
+    rho_s = np.linspace(1e-6, max_rho, 4000)
+    theta_s = _forward_theta_of_rho(poly, rho_s)
+    # theta decreases from pi/2 (optical axis) as rho grows; keep the strictly
+    # monotonic prefix (the single-root region the reference filters for).
+    dtheta = np.diff(theta_s)
+    if np.any(dtheta >= 0):
+        cut = int(np.argmax(dtheta >= 0)) + 1
+        rho_s, theta_s = rho_s[:cut], theta_s[:cut]
+    theta_mean = float(np.mean(theta_s))
+    theta_std = float(np.std(theta_s))
+    tn = (theta_s - theta_mean) / theta_std
+
+    inv_coeffs = None
+    for degree in range(2, MAX_INV_DEGREE + 1):
+        V = np.vander(tn, degree + 1, increasing=True)
+        sol, *_ = np.linalg.lstsq(V, rho_s, rcond=None)
+        err = np.max(np.abs(V @ sol - rho_s))
+        if err < 1e-4:
+            inv_coeffs = sol
+            break
+    if inv_coeffs is None:  # fall back to the best high-degree fit
+        inv_coeffs = sol
+    inv_padded = np.zeros(_INV_LEN)
+    inv_padded[: inv_coeffs.size] = inv_coeffs
+
+    affine = np.array([[scale[0] * c, scale[1] * d], [scale[0] * e, scale[1] * 1.0]])
+    affine_inv = np.linalg.inv(affine)
+
+    cam = CameraModel(
+        poly=jnp.asarray(poly, dtype),
+        poly_deriv_mod=jnp.asarray(poly_deriv_mod, dtype),
+        inv_poly=jnp.asarray(inv_padded, dtype),
+        theta_mean=jnp.asarray(theta_mean, dtype),
+        theta_std=jnp.asarray(theta_std, dtype),
+        center=jnp.asarray(center, dtype),
+        affine=jnp.asarray(affine, dtype),
+        affine_inv=jnp.asarray(affine_inv, dtype),
+        image_size=jnp.asarray(image_size, dtype),
+        min_theta=jnp.asarray(min_theta, dtype),
+        max_rho=jnp.asarray(max_rho, dtype),
+        one_pixel_angle=jnp.asarray(0.0, dtype),
+    )
+    # one-pixel angle (src/TaylorCamera.cc:192-197)
+    v_c = np.asarray(unproject(cam, jnp.asarray(image_size / 2.0, dtype)))
+    v_d = np.asarray(unproject(cam, jnp.asarray(image_size / 2.0 + 1.0, dtype)))
+    opa = float(np.arccos(np.clip(np.dot(v_c, v_d), -1.0, 1.0)) / np.sqrt(2.0))
+    return cam.replace(one_pixel_angle=jnp.asarray(opa, dtype))
+
+
+def stack_cameras(cams) -> CameraModel:
+    """Stack a list of single cameras into one struct with leading axis."""
+    import jax
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+
+
+# ---------------------------------------------------------------------------
+# Device-side ops
+# ---------------------------------------------------------------------------
+
+def project(cam: CameraModel, v3: jnp.ndarray):
+    """Camera-frame point(s) -> pixel coords.
+
+    Returns ``(uv, valid)``; invalid when theta < min_theta (outside model
+    FOV) or the pixel falls outside the image (src/TaylorCamera.cc:202-287).
+    Broadcasts cam batch dims against v3 batch dims.
+    """
+    x, y, z = v3[..., 0], v3[..., 1], v3[..., 2]
+    norm = jnp.sqrt(x * x + y * y)
+    theta = jnp.arctan2(z, norm)
+    valid = theta >= cam.min_theta
+
+    tn = (theta - cam.theta_mean) / cam.theta_std
+    rho = polyval(cam.inv_poly, tn)
+
+    norm_safe = jnp.where(norm == 0, 1.0, norm)
+    cos_phi = jnp.where(norm == 0, 0.0, x / norm_safe)
+    sin_phi = jnp.where(norm == 0, 0.0, y / norm_safe)
+    rho = jnp.where(norm == 0, 0.0, rho)
+
+    uv_dist = jnp.stack([cos_phi * rho, sin_phi * rho], axis=-1)
+    uv = jnp.einsum("...ij,...j->...i", cam.affine, uv_dist) + cam.center
+
+    inside = (
+        (uv[..., 0] >= 0)
+        & (uv[..., 1] >= 0)
+        & (uv[..., 0] < cam.image_size[..., 0] - 1)
+        & (uv[..., 1] < cam.image_size[..., 1] - 1)
+    )
+    return uv, valid & inside
+
+
+def unproject(cam: CameraModel, uv: jnp.ndarray) -> jnp.ndarray:
+    """Pixel coords -> unit-sphere direction in the camera frame
+    (src/TaylorCamera.cc:319-346)."""
+    uv_dist = jnp.einsum(
+        "...ij,...j->...i", cam.affine_inv, uv - cam.center
+    )
+    rho = jnp.linalg.norm(uv_dist, axis=-1)
+    z = polyval(cam.poly, rho)
+    v3 = jnp.concatenate([uv_dist, z[..., None]], axis=-1)
+    n = jnp.linalg.norm(v3, axis=-1, keepdims=True)
+    return v3 / jnp.where(n == 0, 1.0, n)
+
+
+def projection_derivs_sphere(cam: CameraModel, v3: jnp.ndarray) -> jnp.ndarray:
+    """2x2 d(uv)/d(theta,phi) at camera-frame point v3
+    (src/TaylorCamera.cc:353-383).  Broadcasts like :func:`project`."""
+    x, y, z = v3[..., 0], v3[..., 1], v3[..., 2]
+    norm = jnp.sqrt(x * x + y * y)
+    theta = jnp.arctan2(z, norm)
+    tn = (theta - cam.theta_mean) / cam.theta_std
+    rho = polyval(cam.inv_poly, tn)
+    norm_safe = jnp.where(norm == 0, 1.0, norm)
+    cos_phi = jnp.where(norm == 0, 0.0, x / norm_safe)
+    sin_phi = jnp.where(norm == 0, 0.0, y / norm_safe)
+
+    w = polyval(cam.poly, rho)
+    denom = polyval(cam.poly_deriv_mod, rho)
+    drho_dtheta = (rho * rho + w * w) / jnp.where(denom == 0, 1.0, denom)
+
+    d_theta = jnp.stack([cos_phi * drho_dtheta, sin_phi * drho_dtheta], axis=-1)
+    d_phi = jnp.stack([-sin_phi * rho, cos_phi * rho], axis=-1)
+    cols = jnp.stack([d_theta, d_phi], axis=-1)  # (...,2,2) sensor-plane
+    return jnp.einsum("...ij,...jk->...ik", cam.affine, cols)
+
+
+def cam_sphere_deriv(v3: jnp.ndarray):
+    """d(theta)/d(point), d(phi)/d(point): each (...,3)
+    (src/TaylorCamera.cc:617-669, static GetCamSphereDeriv)."""
+    x, y, z = v3[..., 0], v3[..., 1], v3[..., 2]
+    x2, y2, z2 = x * x, y * y, z * z
+    n2 = x2 + y2
+    n = jnp.sqrt(n2)
+    n3 = n2 * n
+    dn = n3 + n * z2
+    dn_safe = jnp.where(dn == 0, 1.0, dn)
+    zero_n = n == 0
+    d_theta = jnp.stack(
+        [
+            jnp.where(zero_n, 0.0, -z * x / dn_safe),
+            jnp.where(zero_n, 0.0, -z * y / dn_safe),
+            jnp.where(zero_n, 0.0, n / jnp.where(n2 + z2 == 0, 1.0, n2 + z2)),
+        ],
+        axis=-1,
+    )
+    n2_safe = jnp.where(n2 == 0, 1.0, n2)
+    d_phi = jnp.stack(
+        [
+            jnp.where(zero_n, 0.0, -y / n2_safe),
+            jnp.where(zero_n, 0.0, x / n2_safe),
+            jnp.zeros_like(x),
+        ],
+        axis=-1,
+    )
+    return d_theta, d_phi
+
+
+def project_jacobian_point(cam: CameraModel, v3: jnp.ndarray) -> jnp.ndarray:
+    """Full 2x3 d(uv)/d(v3_cam) — chain of the two derivs above.  This is
+    the Jacobian the reference assembles per measurement in
+    TrackerData::CalcJacobian and EdgeChainMeas::linearizeOplus."""
+    duv = projection_derivs_sphere(cam, v3)          # (...,2,2)
+    d_theta, d_phi = cam_sphere_deriv(v3)            # (...,3) each
+    dsph = jnp.stack([d_theta, d_phi], axis=-2)      # (...,2,3)
+    return jnp.einsum("...ij,...jk->...ik", duv, dsph)

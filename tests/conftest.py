@@ -1,0 +1,32 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding tests use
+``--xla_force_host_platform_device_count=8`` per the project build rules.
+Must run before jax initializes its backends, hence the env mutation at
+import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon harness pins JAX_PLATFORMS=axon via sitecustomize, overriding the
+# env var above — force CPU through the config API, which wins.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
