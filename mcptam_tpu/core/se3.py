@@ -190,8 +190,8 @@ def se3_generator_field(j: int, p_homog: jnp.ndarray) -> jnp.ndarray:
     out = jnp.zeros_like(p_homog)
     if j < 3:
         return out.at[..., j].set(p_homog[..., 3])
-    # rotation generators
-    a, b = [(2, 1), (0, 2), (1, 0)][j - 3]
+    # rotation generators: hat(e_j) @ p
+    a, b = [(1, 2), (2, 0), (0, 1)][j - 3]
     out = out.at[..., a].set(-p_homog[..., b])
     out = out.at[..., b].set(p_homog[..., a])
     return out

@@ -11,7 +11,11 @@ from mcptam_tpu.core.se3 import (
 
 
 def random_tangents(rng, n, scale=1.0):
-    return rng.normal(size=(n, 6)) * scale
+    """Tangents with rotation magnitude < pi (exp injective region)."""
+    v = rng.normal(size=(n, 6)) * scale
+    wn = np.linalg.norm(v[:, 3:], axis=-1, keepdims=True)
+    v[:, 3:] *= np.minimum(1.0, 0.95 * np.pi / np.maximum(wn, 1e-9))
+    return v
 
 
 def test_hat_vee_roundtrip(rng):
