@@ -1,0 +1,183 @@
+"""Vectorized FAST-10 corner detection, scoring, nonmax, Shi-Tomasi.
+
+TPU-native replacement for libCVD's SSE ``fast_corner_detect_10`` /
+``fast_corner_score_10`` / ``fast_nonmax`` used by the reference's keyframe
+pipeline (src/KeyFrame.cc:259-342,386-421) and for
+``FindShiTomasiScoreAtPoint`` (src/ShiTomasi.cc:34-63).
+
+The segment test ("are >=10 contiguous of the 16 ring pixels all brighter
+than center+t / darker than center-t") is branch-free here: for every pixel
+we compute the ring differences, then the max-over-16-arcs of the
+min-over-10-contiguous differences via a log-composed sliding circular
+minimum.  The resulting *score image*
+
+    score(p) = max( max_arc min_i (ring_i - c),  max_arc min_i (c - ring_i) )
+
+satisfies ``is_corner(p, t) == score(p) > t`` — the same max-threshold score
+semantics as ``fast_corner_score_10`` — and one score image serves
+detection at any threshold, the adaptive-threshold histogram, and nonmax
+suppression, with no per-corner lists on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3, clockwise from 12 o'clock, in (dy, dx)
+# (same ring as libCVD's FAST-10; y axis points down).
+RING_OFFSETS = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+    (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+ARC_LEN = 10
+BORDER = 3
+
+
+def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift so out[y, x] = img[y+dy, x+dx]; out-of-range filled with 0.
+    Works on (...,H,W)."""
+    out = jnp.roll(img, shift=(-dy, -dx), axis=(-2, -1))
+    return out  # callers zero the border anyway
+
+
+def _circular_window_min(d: jnp.ndarray) -> jnp.ndarray:
+    """d: (...,16) ring values -> (...,16) where out[...,a] = min over the
+    10 contiguous entries starting at a (circular).  Log-composed rolls."""
+    m1 = d
+    m2 = jnp.minimum(m1, jnp.roll(m1, -1, axis=-1))
+    m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=-1))
+    m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=-1))
+    # window of 10 = window8 at a, window2 at a+8
+    return jnp.minimum(m8, jnp.roll(m2, -8, axis=-1))
+
+
+def fast_score_image(img: jnp.ndarray) -> jnp.ndarray:
+    """FAST-10 max-threshold score for every pixel of (...,H,W) float image.
+
+    score > t  <=>  pixel passes the FAST-10 segment test at threshold t.
+    Border (3 px) scores are 0.
+    """
+    rings = jnp.stack(
+        [_shift2d(img, dy, dx) for (dy, dx) in RING_OFFSETS], axis=-1
+    )  # (...,H,W,16)
+    d = rings - img[..., None]
+    bright = _circular_window_min(d)            # min over arc of (ring - c)
+    dark = _circular_window_min(-d)             # min over arc of (c - ring)
+    score = jnp.maximum(
+        jnp.max(bright, axis=-1), jnp.max(dark, axis=-1)
+    )
+    score = jnp.maximum(score, 0.0)
+    # zero the border where the ring wraps garbage
+    H, W = img.shape[-2], img.shape[-1]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inb = (
+        (ys >= BORDER) & (ys < H - BORDER) & (xs >= BORDER) & (xs < W - BORDER)
+    )
+    return jnp.where(inb, score, 0.0)
+
+
+def adaptive_threshold(
+    score: jnp.ndarray,
+    min_thresh: int = 5,
+    max_thresh: int = 60,
+    target_divisor: float = 500.0,
+) -> jnp.ndarray:
+    """Knee-point adaptive FAST threshold (src/KeyFrame.cc:247-316).
+
+    freq[t] = number of pixels with score >= t for t in [min, max]; walk up
+    from min_thresh and stop at the first t whose (central-difference)
+    derivative exceeds ``-H*W/target_divisor``.  Returns a scalar float
+    threshold (traced).
+    """
+    H, W = score.shape[-2], score.shape[-1]
+    ts = jnp.arange(min_thresh, max_thresh + 1, dtype=score.dtype)
+    # corner at thresh t <=> score > t - matching detect semantics; the
+    # reference's histogram uses score >= t with integer scores, identical
+    # for integer-valued images.
+    flat = score.reshape(score.shape[:-2] + (H * W,))
+    freq = jnp.sum(flat[..., None, :] > ts[:, None] - 1e-6, axis=-1).astype(
+        score.dtype
+    )  # (...,T)
+    n = ts.shape[0]
+    deriv = jnp.concatenate(
+        [
+            (freq[..., 1:2] - freq[..., 0:1]),
+            (freq[..., 2:] - freq[..., :-2]) * 0.5,
+            (freq[..., -1:] - freq[..., -2:-1]),
+        ],
+        axis=-1,
+    )
+    target = -(H * W) / target_divisor
+    exceeded = deriv > target  # stop condition per threshold
+    # first index where exceeded; if none, use the last
+    idx = jnp.argmax(exceeded, axis=-1)
+    idx = jnp.where(jnp.any(exceeded, axis=-1), idx, n - 1)
+    return ts[idx]
+
+
+def nonmax_3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """Keep scores that are strict maxima of their 3x3 neighborhood (ties
+    broken towards the raster-first pixel), zero elsewhere.  Replaces
+    CVD::fast_nonmax."""
+    H, W = score.shape[-2], score.shape[-1]
+    neigh = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh.append((_shift2d(score, dy, dx), dy, dx))
+    keep = jnp.ones(score.shape, bool)
+    for s, dy, dx in neigh:
+        earlier = (dy < 0) or (dy == 0 and dx < 0)
+        if earlier:  # earlier pixel wins ties
+            keep &= score > s
+        else:
+            keep &= score >= s
+    return jnp.where(keep, score, 0.0)
+
+
+def shi_tomasi_image(img: jnp.ndarray, radius: int = 3) -> jnp.ndarray:
+    """Min-eigenvalue corner score at every pixel over a (2r+1)^2 box
+    (src/ShiTomasi.cc:34-63: gradients are central differences of
+    half-pixel steps, score normalized by 2*box area)."""
+    gx = 0.5 * (_shift2d(img, 0, 1) - _shift2d(img, 0, -1))
+    gy = 0.5 * (_shift2d(img, 1, 0) - _shift2d(img, -1, 0))
+    gxx, gyy, gxy = gx * gx, gy * gy, gx * gy
+
+    def box(a):
+        # separable box sum over (2r+1)
+        for axis in (-2, -1):
+            acc = a
+            for s in range(1, radius + 1):
+                acc = acc + jnp.roll(a, s, axis=axis) + jnp.roll(a, -s, axis=axis)
+            a = acc
+        return a
+
+    sxx, syy, sxy = box(gxx), box(gyy), box(gxy)
+    n = (2 * radius + 1) ** 2
+    tr = sxx + syy
+    det_part = jnp.sqrt(jnp.maximum((sxx - syy) ** 2 + 4.0 * sxy * sxy, 0.0))
+    return 0.5 * (tr - det_part) / (2.0 * n)
+
+
+def topk_corners(score: jnp.ndarray, k: int, min_score: jnp.ndarray | float = 0.0):
+    """Extract the top-k scoring pixels of an (H,W) score image as a
+    fixed-capacity corner list.
+
+    Returns (xy (k,2) int32, scores (k,), valid (k,)) — the masked-array
+    replacement for the reference's per-level std::vector<ImageRef> +
+    row LUT (src/KeyFrame.cc:348-355).
+    """
+    H, W = score.shape[-2], score.shape[-1]
+    flat = score.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, k)
+    ys = idx // W
+    xs = idx % W
+    xy = jnp.stack([xs, ys], axis=-1).astype(jnp.int32)
+    valid = vals > jnp.asarray(min_score, score.dtype)
+    return xy, vals, valid
