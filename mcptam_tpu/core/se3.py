@@ -46,13 +46,23 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
 
 def _sinc_coeffs(theta_sq: jnp.ndarray):
     """Return (A, B, C) = (sin t/t, (1-cos t)/t^2, (t-sin t)/t^3) with
-    series fallbacks for small angles (keeps grads finite at t=0)."""
-    theta = jnp.sqrt(theta_sq)
-    small = theta_sq < _EPS
+    series fallbacks for small angles.  The series threshold is wide
+    (theta < 0.1) because the closed forms cancel catastrophically in
+    float32 well before theta reaches sqrt(eps); the 3-term series is
+    accurate to ~1e-10 there."""
+    theta = jnp.sqrt(jnp.maximum(theta_sq, 0.0))
+    small = theta_sq < 1e-2
     ts = jnp.where(small, 1.0, theta)  # safe theta
-    A = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(ts) / ts)
-    B = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(ts)) / theta_sq)
-    C = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (1.0 - A) / theta_sq)
+    t2 = theta_sq
+    A = jnp.where(small, 1.0 - t2 / 6.0 + t2 * t2 / 120.0, jnp.sin(ts) / ts)
+    B = jnp.where(
+        small, 0.5 - t2 / 24.0 + t2 * t2 / 720.0,
+        (1.0 - jnp.cos(ts)) / jnp.where(small, 1.0, t2),
+    )
+    C = jnp.where(
+        small, 1.0 / 6.0 - t2 / 120.0 + t2 * t2 / 5040.0,
+        (1.0 - A) / jnp.where(small, 1.0, t2),
+    )
     return A, B, C
 
 
@@ -155,11 +165,15 @@ class SE3:
         A, B, _ = _sinc_coeffs(theta_sq)
         W = hat(w)
         W2 = W @ W
-        small = theta_sq < _EPS
-        # V^{-1} = I - W/2 + coef * W^2,  coef = (1 - A/(2B)) / theta^2
+        # V^{-1} = I - W/2 + coef * W^2,  coef = (1 - A/(2B)) / theta^2.
+        # Wide series threshold: the closed form cancels in f32 (1 - A/(2B)
+        # is O(theta^2/12) computed from O(1) quantities).
+        small = theta_sq < 1e-2
         ts_safe = jnp.where(small, 1.0, theta_sq)
         coef = jnp.where(
-            small, 1.0 / 12.0 + theta_sq / 720.0, (1.0 - A / (2.0 * B)) / ts_safe
+            small,
+            1.0 / 12.0 + theta_sq / 720.0 + theta_sq * theta_sq / 30240.0,
+            (1.0 - A / (2.0 * B)) / ts_safe,
         )
         eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
         Vinv = eye - 0.5 * W + coef[..., None, None] * W2

@@ -1,0 +1,153 @@
+"""Synthetic multi-camera scene: ground-truth replay harness.
+
+The reference is exercised against ROS bag files of real fisheye rigs; it
+has no synthetic tests (SURVEY §4).  This module is the rebuild's test
+oracle and benchmark feed: a procedurally textured sphere rendered through
+the Taylor camera model, giving multi-view-consistent images with exact
+ground-truth poses and depths for any rig trajectory.
+
+Rendering is jitted JAX (fast on TPU and CPU): per-pixel unproject ->
+world ray -> sphere intersection -> 3D value-noise texture.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mcptam_tpu.core.se3 import SE3
+from mcptam_tpu.core.camera import CameraModel, make_camera, stack_cameras, unproject
+
+SPHERE_RADIUS = 6.0
+
+# default fisheye intrinsics for tests/benchmarks (realistic wide lens)
+DEFAULT_PARAMS = np.array(
+    [180.0, -0.0020, 1.2e-6, -2.0e-9, 322.0, 243.0, 1.001, 0.0003, -0.0002]
+)
+
+
+def _hash3(ix, iy, iz, seed):
+    h = (
+        ix.astype(jnp.float32) * 12.9898
+        + iy.astype(jnp.float32) * 78.233
+        + iz.astype(jnp.float32) * 37.719
+        + seed * 4.1459
+    )
+    return jnp.abs(jnp.sin(h) * 43758.5453) % 1.0
+
+
+def value_noise3(p, freq, seed):
+    """Trilinear-interpolated lattice noise at points (...,3)."""
+    q = p * freq
+    q0 = jnp.floor(q)
+    f = q - q0
+    f = f * f * (3.0 - 2.0 * f)  # smoothstep
+    ix, iy, iz = q0[..., 0], q0[..., 1], q0[..., 2]
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                v = _hash3(ix + dx, iy + dy, iz + dz, seed)
+                w = (
+                    (f[..., 0] if dx else 1 - f[..., 0])
+                    * (f[..., 1] if dy else 1 - f[..., 1])
+                    * (f[..., 2] if dz else 1 - f[..., 2])
+                )
+                out = out + v * w
+    return out
+
+
+def texture(p, seed: float = 1.0):
+    """Multi-octave intensity in [0,255] at world points (...,3)."""
+    v = (
+        0.55 * value_noise3(p, 1.3, seed)
+        + 0.3 * value_noise3(p, 4.1, seed + 1.0)
+        + 0.15 * value_noise3(p, 11.7, seed + 2.0)
+    )
+    return jnp.clip(v * 255.0, 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def render_view(cam: CameraModel, cam_from_world: SE3, seed, H: int, W: int):
+    """Render one camera view (H,W) f32 given cam_from_world."""
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    uv = jnp.stack([xs, ys], axis=-1)
+    rays_c = unproject(cam, uv)                 # (H,W,3) unit rays (cam frame)
+    w_from_c = cam_from_world.inv()
+    d = jnp.einsum("ij,hwj->hwi", w_from_c.R, rays_c)
+    c = w_from_c.t
+    # |c + t d|^2 = R^2
+    b = jnp.einsum("hwi,i->hw", d, c)
+    disc = b * b - (jnp.dot(c, c) - SPHERE_RADIUS**2)
+    t = -b + jnp.sqrt(jnp.maximum(disc, 0.0))
+    p = c + t[..., None] * d
+    return texture(p, seed)
+
+
+def render_rig(cams: CameraModel, cam_from_base: SE3, base_from_world: SE3,
+               seed, H: int, W: int):
+    """Render all C cameras: (C,H,W) f32."""
+    def per_cam(cam, cfb):
+        pose = cfb @ base_from_world
+        return render_view(cam, pose, seed, H, W)
+    return jax.vmap(per_cam, in_axes=(0, 0))(cams, cam_from_base)
+
+
+def ray_depth(cam_from_world: SE3, rays_c):
+    """Ground-truth depth along camera rays to the sphere."""
+    w_from_c = cam_from_world.inv()
+    d = jnp.einsum("ij,...j->...i", w_from_c.R, rays_c)
+    c = w_from_c.t
+    b = jnp.einsum("...i,i->...", d, c)
+    disc = b * b - (jnp.dot(c, c) - SPHERE_RADIUS**2)
+    return -b + jnp.sqrt(jnp.maximum(disc, 0.0))
+
+
+def make_rig(n_cams: int, H: int = 480, W: int = 640, spread_deg: float = 30.0):
+    """A rig of n identical fisheye cameras fanned out in yaw, slightly
+    offset in position (like the reference's multi-camera clusters)."""
+    params = DEFAULT_PARAMS.copy()
+    params[4] = W / 2.0 + 2.0
+    params[5] = H / 2.0 + 3.0
+    params[0] = 0.28 * W  # focal-ish scaling with resolution
+    cams = stack_cameras([make_camera(params, (W, H)) for _ in range(n_cams)])
+
+    yaws = (np.arange(n_cams) - (n_cams - 1) / 2.0) * np.radians(spread_deg)
+    Rs, ts = [], []
+    for i, y in enumerate(yaws):
+        R = np.array(
+            [[np.cos(y), 0, -np.sin(y)], [0, 1, 0], [np.sin(y), 0, np.cos(y)]],
+            np.float32,
+        )
+        t = np.array([0.05 * (i % 2), -0.03 * i, 0.0], np.float32)
+        Rs.append(R)
+        ts.append(t)
+    cam_from_base = SE3(R=jnp.asarray(np.stack(Rs)), t=jnp.asarray(np.stack(ts)))
+    return cams, cam_from_base
+
+
+def make_sbi_cams(cams: CameraModel, H: int, W: int) -> CameraModel:
+    """SBI-sized (40x30) variants of the rig cameras for ESM rotation."""
+    from mcptam_tpu.config import SBI_SIZE
+    n = cams.theta_mean.shape[0]
+    out = []
+    for i in range(n):
+        # reconstruct the host-side params is awkward; instead scale the
+        # existing model: centers and affine scale linearly with image size
+        sbi = jax.tree_util.tree_map(lambda a: a[i], cams)
+        sy = SBI_SIZE[0] / H
+        sx = SBI_SIZE[1] / W
+        s = jnp.asarray([sx, sy])
+        out.append(
+            sbi.replace(
+                center=sbi.center * s,
+                affine=sbi.affine * s[:, None],
+                affine_inv=jnp.linalg.inv(sbi.affine * s[:, None]),
+                image_size=jnp.asarray([float(SBI_SIZE[1]), float(SBI_SIZE[0])]),
+            )
+        )
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *out)

@@ -18,6 +18,14 @@ per-point functions designed to be vmapped over (points x cameras):
   * :func:`subpix_refine` — 3-DOF (x, y, mean-diff) inverse-composition
     Gauss-Newton with bilinear sampling (src/PatchFinder.cc:362-470).
 
+Image access is abstracted through *window functions* built by
+:func:`make_window_fn` and friends: ``window_fn(level, y0, x0, size) ->
+(window, no_clamp_ok)`` gathers a static-size window in level coords from a
+pyramid atlas, whether the atlas lives standalone (2D), per camera (3D), or
+in the keyframe store (4D with dynamic mkf/cam indices).  This lets one
+vmapped search kernel serve the tracker (current frame) and the map maker
+(refinds/epipolar in stored keyframes).
+
 Positions follow the reference conventions: "L0 coords" are level-0 pixels;
 level-N coords relate via LevelNPos/LevelZeroPos (half-pixel aware).
 """
@@ -29,7 +37,9 @@ import jax.numpy as jnp
 
 from mcptam_tpu.config import LEVELS, PATCH_SIZE
 from mcptam_tpu.core.levels import level_n_pos, level_zero_pos
-from mcptam_tpu.ops.atlas import dynamic_window, level_size_arrays
+from mcptam_tpu.ops.atlas import (
+    level_xoff_array, level_size_arrays, _level0_width_from_atlas,
+)
 
 HALF = PATCH_SIZE // 2  # patch center offset (4,4), ref PatchFinder.cc:60
 MAX_SSD_PER_PIXEL = 250.0  # ref src/PatchFinder.cc:44 (tracking); 500 calib
@@ -40,6 +50,68 @@ MAX_SSD = PATCH_SIZE * PATCH_SIZE * MAX_SSD_PER_PIXEL
 # inside this; samples outside flag the template bad.
 _SRC_HALF = 12
 
+
+# ---------------------------------------------------------------------------
+# Window accessors over atlases of different ranks
+# ---------------------------------------------------------------------------
+
+def _atlas_l0_dims(atlas):
+    return atlas.shape[-2], _level0_width_from_atlas(atlas.shape[-1])
+
+
+def make_window_fn(atlas2d):
+    """Window accessor for a standalone (H,AW) atlas."""
+    H, W0 = _atlas_l0_dims(atlas2d)
+    AW = atlas2d.shape[-1]
+    xoffs = level_xoff_array(W0)
+
+    def fn(level, y0, x0, size):
+        ax0 = x0 + xoffs[level]
+        win = jax.lax.dynamic_slice(atlas2d, (y0, ax0), size)
+        ok = (y0 >= 0) & (ax0 >= 0) & (y0 + size[0] <= H) & (ax0 + size[1] <= AW)
+        return win.astype(jnp.float32), ok
+
+    fn.level_hw = level_size_arrays(H, W0)
+    return fn
+
+
+def make_window_fn3(atlas3, cam):
+    """Accessor into a (C,H,AW) per-camera atlas at (traced) camera cam."""
+    H, W0 = _atlas_l0_dims(atlas3)
+    AW = atlas3.shape[-1]
+    xoffs = level_xoff_array(W0)
+
+    def fn(level, y0, x0, size):
+        ax0 = x0 + xoffs[level]
+        win = jax.lax.dynamic_slice(atlas3, (cam, y0, ax0), (1,) + tuple(size))[0]
+        ok = (y0 >= 0) & (ax0 >= 0) & (y0 + size[0] <= H) & (ax0 + size[1] <= AW)
+        return win.astype(jnp.float32), ok
+
+    fn.level_hw = level_size_arrays(H, W0)
+    return fn
+
+
+def make_window_fn4(atlas4, mkf, cam):
+    """Accessor into the keyframe store (M,C,H,AW) at (mkf, cam)."""
+    H, W0 = _atlas_l0_dims(atlas4)
+    AW = atlas4.shape[-1]
+    xoffs = level_xoff_array(W0)
+
+    def fn(level, y0, x0, size):
+        ax0 = x0 + xoffs[level]
+        win = jax.lax.dynamic_slice(
+            atlas4, (mkf, cam, y0, ax0), (1, 1) + tuple(size)
+        )[0, 0]
+        ok = (y0 >= 0) & (ax0 >= 0) & (y0 + size[0] <= H) & (ax0 + size[1] <= AW)
+        return win.astype(jnp.float32), ok
+
+    fn.level_hw = level_size_arrays(H, W0)
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Warp + search level
+# ---------------------------------------------------------------------------
 
 def warp_and_search_level(cam_derivs, d_theta, d_phi, R_cam_from_world,
                           pixel_right_w, pixel_down_w):
@@ -72,6 +144,10 @@ def warp_and_search_level(cam_derivs, d_theta, d_phi, R_cam_from_world,
     return A, lvl, ok
 
 
+# ---------------------------------------------------------------------------
+# Templates
+# ---------------------------------------------------------------------------
+
 def _bilinear(img, ys, xs):
     """Bilinear sample of a 2D array at float coords (broadcasting)."""
     y0 = jnp.floor(ys)
@@ -95,13 +171,10 @@ def _bilinear(img, ys, xs):
     )
 
 
-def make_warped_template(src_atlas, src_level, src_center_xy, warp_inv,
-                         search_level):
-    """Generate the 8x8 warped template for one point.
-
-    src_atlas: (H,AW) source-KF pyramid atlas (float); src_center_xy (2,)
-    source-level coords of the patch center; warp_inv from
-    :func:`warp_and_search_level`.  The sampling matrix is
+def make_warped_template_w(window_fn, src_level, src_center_xy, warp_inv,
+                           search_level):
+    """Generate the 8x8 warped template for one point (window_fn indexes
+    the *source keyframe* atlas).  The sampling matrix is
     ``m2 = inv(warp_inv) * 2^search_level`` — source-level pixels per
     template (search-level) pixel (ref src/PatchFinder.cc:135-143).
 
@@ -116,65 +189,52 @@ def make_warped_template(src_atlas, src_level, src_center_xy, warp_inv,
     )
     m2 = inv * (2.0 ** search_level.astype(jnp.float32))
 
-    # gather a static source window around the (integer) center
     cx = src_center_xy[0]
     cy = src_center_xy[1]
     cyi = jnp.floor(cy).astype(jnp.int32)
     cxi = jnp.floor(cx).astype(jnp.int32)
     S = 2 * _SRC_HALF + 2
-    win = dynamic_window(
-        src_atlas, src_level, cyi - _SRC_HALF, cxi - _SRC_HALF, (S, S)
-    ).astype(jnp.float32)
+    win, win_ok = window_fn(src_level, cyi - _SRC_HALF, cxi - _SRC_HALF, (S, S))
 
-    # template pixel offsets from its center
     oy = (jnp.arange(PATCH_SIZE, dtype=jnp.float32) - HALF)[:, None]
     ox = (jnp.arange(PATCH_SIZE, dtype=jnp.float32) - HALF)[None, :]
     sx = m2[0, 0] * ox + m2[0, 1] * oy + (cx - cxi) + _SRC_HALF
     sy = m2[1, 0] * ox + m2[1, 1] * oy + (cy - cyi) + _SRC_HALF
 
-    inside = (
-        (sx >= 0) & (sx <= S - 2) & (sy >= 0) & (sy <= S - 2)
-    )
+    inside = (sx >= 0) & (sx <= S - 2) & (sy >= 0) & (sy <= S - 2)
     tmpl = _bilinear(win, sy, sx)
 
-    # also require that the source window itself was inside the level
-    hs, ws = level_size_arrays(*_atlas_l0_dims(src_atlas))
+    hs, ws = window_fn.level_hw
     h_l = hs[src_level]
     w_l = ws[src_level]
-    # conservative: warped sample coords in level space
     lx = sx - _SRC_HALF + cxi
     ly = sy - _SRC_HALF + cyi
     in_level = (lx >= 0) & (lx <= w_l - 2) & (ly >= 0) & (ly <= h_l - 2)
-    # and the gathered window itself must not have clamped at atlas edges
-    win_ok = (
-        (cyi - _SRC_HALF >= 0) & (cxi - _SRC_HALF >= 0)
-        & (cyi + _SRC_HALF + 2 <= h_l) & (cxi + _SRC_HALF + 2 <= w_l)
-    )
     ok = jnp.all(inside & in_level) & win_ok & (jnp.abs(det) > 1e-12)
     return tmpl, ok
 
 
-def _atlas_l0_dims(atlas):
-    from mcptam_tpu.ops.atlas import _level0_width_from_atlas
-    return atlas.shape[-2], _level0_width_from_atlas(atlas.shape[-1])
-
-
-def unwarped_template(src_atlas, src_level, src_center_xy):
+def unwarped_template_w(window_fn, src_level, src_center_xy):
     """8x8 template copied straight from the source level (no warp) — used
     by epipolar search (ref MakeTemplateCoarseNoWarp,
     src/PatchFinder.cc:187-199).  Integer-aligned copy."""
     cyi = jnp.round(src_center_xy[1]).astype(jnp.int32)
     cxi = jnp.round(src_center_xy[0]).astype(jnp.int32)
-    win = dynamic_window(
-        src_atlas, src_level, cyi - HALF, cxi - HALF, (PATCH_SIZE, PATCH_SIZE)
-    ).astype(jnp.float32)
-    hs, ws = level_size_arrays(*_atlas_l0_dims(src_atlas))
+    win, win_ok = window_fn(
+        src_level, cyi - HALF, cxi - HALF, (PATCH_SIZE, PATCH_SIZE)
+    )
+    hs, ws = window_fn.level_hw
     ok = (
         (cxi - HALF >= 0) & (cyi - HALF >= 0)
         & (cxi + HALF < ws[src_level]) & (cyi + HALF < hs[src_level])
+        & win_ok
     )
     return win, ok
 
+
+# ---------------------------------------------------------------------------
+# ZMSSD + coarse search
+# ---------------------------------------------------------------------------
 
 def zmssd(template, patches):
     """Zero-mean SSD between one (8,8) template and (...,8,8) patches."""
@@ -187,14 +247,12 @@ def zmssd(template, patches):
     return ssd - (sum_p - sum_t) ** 2 / n
 
 
-def find_patch(cur_atlas, corner_atlas, search_level, template,
-               pred_pos_l0, range_l0: int, max_range_l0=None,
-               exhaustive: bool = False, max_ssd: float = MAX_SSD):
+def find_patch_w(window_fn, corner_window_fn, search_level, template,
+                 pred_pos_l0, range_l0: int, max_range_l0=None,
+                 exhaustive: bool = False, max_ssd: float = MAX_SSD):
     """Coarse patch search for one point (ref FindPatchCoarse,
     src/PatchFinder.cc:229-355).
 
-    cur_atlas: (H,AW) current-frame pyramid atlas (f32);
-    corner_atlas: (H,AW) FAST-corner indicator atlas (f32 0/1);
     range_l0: static int — the level-0 search radius that sizes the window;
     max_range_l0: optional traced radius (<= range_l0) actually enforced.
 
@@ -204,7 +262,6 @@ def find_patch(cur_atlas, corner_atlas, search_level, template,
         max_range_l0 = jnp.asarray(float(range_l0))
     scale = 2.0 ** search_level.astype(jnp.float32)
     pos_lev = level_n_pos(pred_pos_l0, search_level.astype(jnp.float32))
-    # radius in level coords, ceil-divided like the reference
     r_lev = jnp.ceil(max_range_l0 / scale)
 
     R = range_l0  # static worst-case (level-0) radius
@@ -214,20 +271,17 @@ def find_patch(cur_atlas, corner_atlas, search_level, template,
     y0 = cyi - R - HALF
     x0 = cxi - R - HALF
     G = S + PATCH_SIZE  # gathered region edge
-    region = dynamic_window(cur_atlas, search_level, y0, x0, (G, G))
-    corner_w = dynamic_window(corner_atlas, search_level, y0 + HALF, x0 + HALF, (S, S))
+    region, region_ok = window_fn(search_level, y0, x0, (G, G))
+    corner_w, _ = corner_window_fn(search_level, y0 + HALF, x0 + HALF, (S, S))
 
-    # dynamic_slice clamps at the atlas edge; detect clamping to invalidate
-    # offsets whose true coords fall outside the level
-    hs, ws = level_size_arrays(*_atlas_l0_dims(cur_atlas))
+    hs, ws = window_fn.level_hw
     h_l, w_l = hs[search_level], ws[search_level]
 
-    # offsets grid
     dy = jnp.arange(S, dtype=jnp.float32) - R
     dx = jnp.arange(S, dtype=jnp.float32) - R
     oy = dy[:, None] + jnp.zeros((1, S))
     ox = dx[None, :] + jnp.zeros((S, 1))
-    yy = cyi + oy  # integer candidate coords (as float)
+    yy = cyi + oy
     xx = cxi + ox
     dist_ok = (
         (yy - pos_lev[1]) ** 2 + (xx - pos_lev[0]) ** 2
@@ -237,20 +291,9 @@ def find_patch(cur_atlas, corner_atlas, search_level, template,
     )
     is_corner = corner_w > 0.5
     valid = dist_ok & in_bounds & (is_corner | exhaustive)
-    # if the region gather clamped at an atlas edge the window contents are
-    # shifted relative to the offset grid — invalidate the whole search then
-    # (reference clips its bbox instead; edge losses are rare and benign)
-    from mcptam_tpu.ops.atlas import level_xoff_array
-    H_atlas, W0 = _atlas_l0_dims(cur_atlas)
-    AW = cur_atlas.shape[-1]
-    ax0 = x0 + level_xoff_array(W0)[search_level]
-    clamp_ok = (
-        (y0 >= 0) & (ax0 >= 0) & (y0 + G <= H_atlas) & (ax0 + G <= AW)
-    )
-    valid = valid & jnp.broadcast_to(clamp_ok, valid.shape)
+    valid = valid & jnp.broadcast_to(region_ok, valid.shape)
 
-    # extract all S*S candidate patches from the region: patches[i,j] =
-    # region[i:i+8, j:j+8] — build via static 8x8 shifted slices
+    # extract all S*S candidate patches: patches[i,j] = region[i:i+8, j:j+8]
     cols = []
     for py in range(PATCH_SIZE):
         row = []
@@ -273,6 +316,10 @@ def find_patch(cur_atlas, corner_atlas, search_level, template,
     return found, pos_l0, best_ssd
 
 
+# ---------------------------------------------------------------------------
+# Sub-pixel refinement
+# ---------------------------------------------------------------------------
+
 def subpix_template_hessian(template):
     """Inner 6x6 gradients + inverse 3x3 JTJ of the inverse-composition
     template (ref MakeSubPixTemplate, src/PatchFinder.cc:362-391)."""
@@ -285,14 +332,14 @@ def subpix_template_hessian(template):
     return gx, gy, Hinv
 
 
-def subpix_refine(cur_atlas, search_level, template, pos_l0,
-                  n_its: int = 10, conv_limit: float = 0.03):
+def subpix_refine_w(window_fn, search_level, template, pos_l0,
+                    n_its: int = 10, conv_limit: float = 0.03):
     """Iterate inverse composition to convergence for one point
     (ref IterateSubPixToConvergence/IterateSubPix,
     src/PatchFinder.cc:396-470).  Returns (pos_l0, converged)."""
     gx, gy, Hinv = subpix_template_hessian(template)
     scale = 2.0 ** search_level.astype(jnp.float32)
-    hs, ws = level_size_arrays(*_atlas_l0_dims(cur_atlas))
+    hs, ws = window_fn.level_hw
     h_l = hs[search_level].astype(jnp.float32)
     w_l = ws[search_level].astype(jnp.float32)
 
@@ -308,10 +355,9 @@ def subpix_refine(cur_atlas, search_level, template, pos_l0,
         bxi = jnp.floor(base[0]).astype(jnp.int32)
         fy = base[1] - byi.astype(jnp.float32)
         fx = base[0] - bxi.astype(jnp.float32)
-        win = dynamic_window(
-            cur_atlas, search_level, byi, bxi, (PATCH_SIZE + 1, PATCH_SIZE + 1)
+        win, _ = window_fn(
+            search_level, byi, bxi, (PATCH_SIZE + 1, PATCH_SIZE + 1)
         )
-        # bilinear-resample the 8x8 target patch (constant fractions)
         tgt = (
             win[:-1, :-1] * (1 - fy) * (1 - fx)
             + win[:-1, 1:] * (1 - fy) * fx
@@ -327,7 +373,6 @@ def subpix_refine(cur_atlas, search_level, template, pos_l0,
         new_mean = mean_diff - upd[2]
         upd_sq = upd[0] ** 2 + upd[1] ** 2
         conv = upd_sq < conv_limit * conv_limit
-        # freeze once done or off-edge
         active = ~(done | off_edge)
         pos = jnp.where(active, new_pos, pos)
         mean_diff = jnp.where(active, new_mean, mean_diff)
@@ -343,3 +388,36 @@ def subpix_refine(cur_atlas, search_level, template, pos_l0,
     )
     pos, _, done, ok = jax.lax.fori_loop(0, n_its, body, init)
     return pos, done & ok
+
+
+# ---------------------------------------------------------------------------
+# 2D-atlas convenience wrappers (tests, calibration tools)
+# ---------------------------------------------------------------------------
+
+def make_warped_template(src_atlas, src_level, src_center_xy, warp_inv,
+                         search_level):
+    return make_warped_template_w(
+        make_window_fn(src_atlas), src_level, src_center_xy, warp_inv,
+        search_level,
+    )
+
+
+def unwarped_template(src_atlas, src_level, src_center_xy):
+    return unwarped_template_w(make_window_fn(src_atlas), src_level, src_center_xy)
+
+
+def find_patch(cur_atlas, corner_atlas, search_level, template, pred_pos_l0,
+               range_l0: int, max_range_l0=None, exhaustive: bool = False,
+               max_ssd: float = MAX_SSD):
+    return find_patch_w(
+        make_window_fn(cur_atlas), make_window_fn(corner_atlas), search_level,
+        template, pred_pos_l0, range_l0, max_range_l0, exhaustive, max_ssd,
+    )
+
+
+def subpix_refine(cur_atlas, search_level, template, pos_l0,
+                  n_its: int = 10, conv_limit: float = 0.03):
+    return subpix_refine_w(
+        make_window_fn(cur_atlas), search_level, template, pos_l0, n_its,
+        conv_limit,
+    )

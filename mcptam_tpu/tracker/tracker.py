@@ -1,0 +1,469 @@
+"""Multi-camera tracking front-end: per-frame pose estimation.
+
+Re-implements the reference Tracker (src/Tracker.cc) as one jitted,
+functional pipeline.  The reference's per-camera std::map loops become a
+leading camera axis; its PVS lists, random shuffle and patch budget become
+masked top-k selection over the (camera x point) pair grid; its WLS<6>
+accumulation loop becomes a batched normal-equation reduction (the psum
+axis when the rig is sharded over devices).
+
+Per-frame pipeline (ref TrackFrame, src/Tracker.cc:409-518):
+  1. motion model: decayed constant velocity with the rotation part
+     replaced by the SBI ESM estimate averaged over cameras
+     (ApplyMotionModel/CalcSBIRotation, src/Tracker.cc:1516-1536,1687-1749)
+  2. PVS: project every point into every camera, warp + search level
+     (FindPVS, src/Tracker.cc:663-723 — with sbCollectAllPoints=true the
+     reference also projects everything)
+  3. coarse stage: up to 60 high-level points searched at 30 px
+     (TestForCoarse, src/Tracker.cc:726-772), then 10 GN pose iterations
+  4. fine stage: up to 1000 points searched at 10/5 px + subpixel
+     refinement, then 10 more pose iterations (src/Tracker.cc:841-905)
+  5. pose solve: Tukey-reweighted 6-DOF normal equations with prior 100
+     (CalcPoseUpdate, src/Tracker.cc:1386-1511), covariance = H^-1
+  6. quality assessment per camera + overall (src/Tracker.cc:1576-1658)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mcptam_tpu.config import TrackerConfig, DEFAULT_TRACKER, LEVELS
+from mcptam_tpu.core.se3 import SE3, so3_ln, geodesic_rotation_mean
+from mcptam_tpu.core.camera import (
+    CameraModel, project, projection_derivs_sphere, cam_sphere_deriv,
+)
+from mcptam_tpu.core import mest
+from mcptam_tpu.map.state import MapState
+from mcptam_tpu.map.keyframe import FrameFeatures
+from mcptam_tpu.ops.patch import (
+    warp_and_search_level, make_warped_template_w, find_patch_w,
+    subpix_refine_w, make_window_fn3, make_window_fn4,
+)
+from mcptam_tpu.ops.sbi import esm_align, se3_from_se2
+
+QUALITY_GOOD = 0
+QUALITY_DODGY = 1
+QUALITY_BAD = 2
+
+
+@struct.dataclass
+class TrackerState:
+    pose: SE3                  # base_from_world
+    vel: jnp.ndarray           # (6,) motion-model velocity
+    sbi_prev: jnp.ndarray      # (C,ROWS,COLS) previous-frame SBI templates
+    sbi_prev_gx: jnp.ndarray
+    sbi_prev_gy: jnp.ndarray
+    have_prev: jnp.ndarray     # scalar bool
+    lost_count: jnp.ndarray    # scalar int32
+    quality: jnp.ndarray       # scalar int32 (QUALITY_*)
+
+
+def create_tracker_state(n_cams: int) -> TrackerState:
+    from mcptam_tpu.config import SBI_SIZE
+    R, C = SBI_SIZE
+    return TrackerState(
+        pose=SE3.identity(),
+        vel=jnp.zeros(6),
+        sbi_prev=jnp.zeros((n_cams, R, C)),
+        sbi_prev_gx=jnp.zeros((n_cams, R, C)),
+        sbi_prev_gy=jnp.zeros((n_cams, R, C)),
+        have_prev=jnp.zeros((), bool),
+        lost_count=jnp.zeros((), jnp.int32),
+        quality=jnp.asarray(QUALITY_BAD, jnp.int32),
+    )
+
+
+@struct.dataclass
+class TrackResult:
+    pose: SE3
+    cov: jnp.ndarray            # (6,6)
+    # selected fine-stage pairs, for measurement recording on MKF add
+    sel_point: jnp.ndarray      # (K,) int32
+    sel_cam: jnp.ndarray        # (K,) int32
+    sel_level: jnp.ndarray      # (K,)
+    sel_pos_l0: jnp.ndarray     # (K,2) found positions
+    sel_found: jnp.ndarray      # (K,) bool
+    sel_outlier: jnp.ndarray    # (K,) bool — Tukey-zero in final solve
+    sel_subpix: jnp.ndarray     # (K,) bool
+    num_found: jnp.ndarray      # (C,)
+    num_attempted: jnp.ndarray  # (C,)
+    mean_depth: jnp.ndarray     # (C,) robust scene depth per camera
+    depth_sigma: jnp.ndarray    # (C,)
+    quality: jnp.ndarray        # scalar int32
+    quality_per_cam: jnp.ndarray  # (C,)
+    lost: jnp.ndarray           # scalar bool
+    sbi_rot: jnp.ndarray        # (3,) tangent used in motion model
+    tot_found: jnp.ndarray      # scalar
+
+
+# ---------------------------------------------------------------------------
+# SBI rotation estimation
+# ---------------------------------------------------------------------------
+
+def calc_sbi_rotation(ts: TrackerState, feats: FrameFeatures,
+                      cams_sbi: CameraModel, cam_from_base: SE3):
+    """Per-camera ESM prev->cur rotation, averaged in the base frame
+    (ref CalcSBIRotation, src/Tracker.cc:1687-1749).  Returns (w (3,),
+    valid)."""
+    C = feats.sbi.shape[0]
+
+    def per_cam(c):
+        se2, score = esm_align(
+            ts.sbi_prev[c], feats.sbi[c], feats.sbi_gx[c], feats.sbi_gy[c],
+        )
+        cam_c = jax.tree_util.tree_map(lambda a: a[c], cams_sbi)
+        R = se3_from_se2(se2, cam_c, cam_c)
+        # se3_from_se2: v_src = R @ v_target with src=prev, target=cur
+        # => rotation prev_from_cur; we want cur_from_prev
+        R_cur_from_prev = R.T
+        # to base frame: B_new = Rcb^T Rc Rcb B_old
+        Rcb = cam_from_base.R[c]
+        return Rcb.T @ R_cur_from_prev @ Rcb
+
+    Rs = jax.vmap(per_cam)(jnp.arange(C))
+    mask = jnp.ones((C,))
+    R_mean = geodesic_rotation_mean(Rs, mask)
+    return so3_ln(R_mean), ts.have_prev
+
+
+# ---------------------------------------------------------------------------
+# PVS
+# ---------------------------------------------------------------------------
+
+def compute_pvs(ms: MapState, cams: CameraModel, pose_base: SE3):
+    """Project all points into all cameras; per-pair warp + search level
+    (ref FindPVS, src/Tracker.cc:663-723).  Returns dict of (C,N) arrays."""
+    pts = ms.points
+    cfb = ms.cam_from_base
+    p_base = pose_base.apply(pts.pos_w)                       # (N,3)
+    p_cam = (
+        jnp.einsum("cij,nj->cni", cfb.R, p_base) + cfb.t[:, None, :]
+    )                                                          # (C,N,3)
+    uv, proj_ok = jax.vmap(project)(cams, p_cam)
+    duv = jax.vmap(projection_derivs_sphere)(cams, p_cam)      # (C,N,2,2)
+    d_th, d_ph = cam_sphere_deriv(p_cam)                       # (C,N,3)
+    R_cw = jnp.einsum("cij,jk->cik", cfb.R, pose_base.R)       # (C,3,3)
+
+    warp_f = jax.vmap(
+        jax.vmap(
+            warp_and_search_level, in_axes=(0, 0, 0, None, 0, 0)
+        ),
+        in_axes=(0, 0, 0, 0, None, None),
+    )
+    warp, level, warp_ok = warp_f(
+        duv, d_th, d_ph, R_cw, pts.pixel_right_w, pts.pixel_down_w
+    )
+    live = pts.valid & ~pts.bad
+    valid = proj_ok & warp_ok & live[None, :]
+    return dict(
+        uv=uv, p_cam=p_cam, p_base=p_base, duv=duv, d_th=d_th, d_ph=d_ph,
+        warp=warp, level=level, valid=valid,
+    )
+
+
+def _pair_priority(C: int, N: int) -> jnp.ndarray:
+    """Deterministic hash priority standing in for the reference's random
+    shuffle of the PVS (src/Tracker.cc TrackMap shuffle)."""
+    n = jnp.arange(N, dtype=jnp.uint32)
+    c = jnp.arange(C, dtype=jnp.uint32)[:, None]
+    h = (n * jnp.uint32(2654435761) + c * jnp.uint32(40503)) & jnp.uint32(0xFFFF)
+    return h.astype(jnp.float32)
+
+
+def _select_pairs(valid_cn, priority_cn, k):
+    flat_valid = valid_cn.reshape(-1)
+    pri = jnp.where(flat_valid, priority_cn.reshape(-1), -jnp.inf)
+    vals, idx = jax.lax.top_k(pri, k)
+    return idx, vals > -jnp.inf
+
+
+# ---------------------------------------------------------------------------
+# Search over selected pairs
+# ---------------------------------------------------------------------------
+
+def search_pairs(ms: MapState, feats: FrameFeatures, cam_idx, pt_idx,
+                 uv_pred, warp, level, sel_ok, range_l0: int, max_range,
+                 subpix_its: int, max_ssd: float):
+    """Template + ZMSSD search + subpixel for K selected (cam, point)
+    pairs.  All static shapes; invalid pairs produce found=False."""
+    pts = ms.points
+
+    def per_pair(c, n, uv, A, lvl, ok):
+        src_fn = make_window_fn4(ms.mkfs.atlas, pts.src_mkf[n], pts.src_cam[n])
+        tmpl, t_ok = make_warped_template_w(
+            src_fn, pts.src_level[n], pts.center_xy[n], A, lvl
+        )
+        cur_fn = make_window_fn3(feats.atlas, c)
+        crn_fn = make_window_fn3(feats.corner_atlas, c)
+        found, pos, ssd = find_patch_w(
+            cur_fn, crn_fn, lvl, tmpl, uv, range_l0, max_range,
+            max_ssd=max_ssd,
+        )
+        found = found & t_ok & ok
+        pos_ref, conv = subpix_refine_w(cur_fn, lvl, tmpl, pos, subpix_its)
+        pos = jnp.where(conv & found, pos_ref, pos)
+        return found, pos, conv & found
+
+    return jax.vmap(per_pair)(cam_idx, pt_idx, uv_pred, warp, level, sel_ok)
+
+
+# ---------------------------------------------------------------------------
+# Pose solve
+# ---------------------------------------------------------------------------
+
+def _pair_jacobian(cams, cfb: SE3, pose: SE3, pos_w, cam_idx):
+    """Projection + 2x6 base-pose Jacobian for K pairs under `pose`.
+
+    Returns (uv (K,2), proj_ok (K,), J (K,2,6), p_cam (K,3)).  The Jacobian
+    chain is the reference's TrackerData::CalcJacobian
+    (include/mcptam/TrackerData.h:152-178): SE3 generator fields on the
+    base-frame point, rotated into the camera, through the sphere + camera
+    derivatives."""
+    p_base = pose.apply(pos_w)                                # (K,3)
+    Rcb = cfb.R[cam_idx]                                      # (K,3,3)
+    tcb = cfb.t[cam_idx]
+    p_cam = jnp.einsum("kij,kj->ki", Rcb, p_base) + tcb
+    cams_k = jax.tree_util.tree_map(lambda a: a[cam_idx], cams)
+    uv, proj_ok = project(cams_k, p_cam)
+    duv = projection_derivs_sphere(cams_k, p_cam)             # (K,2,2)
+    d_th, d_ph = cam_sphere_deriv(p_cam)                      # (K,3)
+
+    # generator fields: translation e_j then rotation e_j x p_base
+    K = p_base.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3), (K, 3, 3))
+    zeros = jnp.zeros((K, 3))
+    px, py, pz = p_base[:, 0], p_base[:, 1], p_base[:, 2]
+    rot_gens = jnp.stack(
+        [
+            jnp.stack([zeros[:, 0], -pz, py], -1),
+            jnp.stack([pz, zeros[:, 0], -px], -1),
+            jnp.stack([-py, px, zeros[:, 0]], -1),
+        ],
+        axis=1,
+    )                                                          # (K,3,3)
+    gens = jnp.concatenate([eye, rot_gens], axis=1)            # (K,6,3)
+    dcam = jnp.einsum("kij,kgj->kgi", Rcb, gens)               # (K,6,3)
+    sph = jnp.stack(
+        [
+            jnp.einsum("kd,kgd->kg", d_th, dcam),
+            jnp.einsum("kd,kgd->kg", d_ph, dcam),
+        ],
+        axis=1,
+    )                                                          # (K,2,6)
+    J = jnp.einsum("kij,kjg->kig", duv, sph)                   # (K,2,6)
+    return uv, proj_ok, J, p_cam
+
+
+def pose_solve(pose: SE3, ms: MapState, cams, cam_idx, pt_idx, found,
+               found_pos, level, iterations: int, prior: float,
+               sigma_floor: float):
+    """Iterated Tukey-weighted 6-DOF WLS (ref CalcPoseUpdate,
+    src/Tracker.cc:1386-1511).  Re-projects every iteration (cheap under
+    vmap; the reference reprojects at iters 0/4/9 only as a CPU saving).
+
+    Returns (pose, H (6,6), final_weights (K,), final_err (K,2))."""
+    pos_w = ms.points.pos_w[pt_idx]
+    inv_scale = 1.0 / (2.0 ** level.astype(jnp.float32))       # 1/LevelScale
+
+    def step(carry, _):
+        pose, _, _ = carry
+        uv, proj_ok, J, _ = _pair_jacobian(cams, ms.cam_from_base, pose, pos_w, cam_idx)
+        mask = found & proj_ok
+        e = (found_pos - uv) * inv_scale[:, None]
+        Js = J * inv_scale[:, None, None]
+        # masked pairs can carry non-finite values (e.g. degenerate slots);
+        # 0-weight * inf = NaN, so zero them explicitly
+        e = jnp.where(mask[:, None] & jnp.isfinite(e).all(-1, keepdims=True), e, 0.0)
+        fin = mask & jnp.isfinite(Js).all((-2, -1)) & jnp.isfinite(e).all(-1)
+        mask = fin
+        Js = jnp.where(mask[:, None, None], Js, 0.0)
+        e = jnp.where(mask[:, None], e, 0.0)
+        err_sq = jnp.sum(e * e, axis=-1)
+        sigma_sq = jnp.maximum(
+            mest.find_sigma_squared(err_sq, mask), sigma_floor
+        )
+        w = mest.weight(mest.TUKEY, err_sq, sigma_sq) * mask
+        H = jnp.einsum("k,kiv,kiw->vw", w, Js, Js) + prior * jnp.eye(6)
+        b = jnp.einsum("k,kiv,ki->v", w, Js, e)
+        delta = jnp.linalg.solve(H, b)
+        new_pose = SE3.exp(delta) @ pose
+        return (new_pose, H, w), None
+
+    H0 = jnp.eye(6)
+    (pose, H, w), _ = jax.lax.scan(
+        step, (pose, H0, jnp.zeros_like(found, jnp.float32)), None,
+        length=iterations,
+    )
+    # final residuals for outlier marking
+    uv, proj_ok, _, _ = _pair_jacobian(cams, ms.cam_from_base, pose, pos_w, cam_idx)
+    e = (found_pos - uv) * inv_scale[:, None]
+    return pose, H, w, e
+
+
+def robust_mean_depth(p_cam_z, mask):
+    """Huber-robust mean depth (ref RefreshSceneDepth via tracker,
+    src/Tracker.cc:1180-1228)."""
+    med = mest.masked_median(p_cam_z, mask)
+    d_sq = (p_cam_z - med[..., None]) ** 2
+    sig = jnp.maximum(mest.find_sigma_squared(d_sq, mask), 0.4)
+    w = jnp.sqrt(mest.weight(mest.HUBER, d_sq, sig[..., None])) * mask
+    sw = jnp.maximum(jnp.sum(w, -1), 1e-9)
+    mean = jnp.sum(w * p_cam_z, -1) / sw
+    var = jnp.sum(w * p_cam_z * p_cam_z, -1) / sw - mean * mean
+    return mean, jnp.sqrt(jnp.maximum(var, 1e-12))
+
+
+# ---------------------------------------------------------------------------
+# The frame step
+# ---------------------------------------------------------------------------
+
+def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
+                cams_sbi: CameraModel, feats: FrameFeatures,
+                tcfg: TrackerConfig = DEFAULT_TRACKER):
+    """One tracking step.  Returns (new TrackerState, TrackResult)."""
+    C = feats.atlas.shape[0]
+    N = ms.points.capacity
+
+    # ---- 1. motion model
+    sbi_rot, have_rot = calc_sbi_rotation(ts, feats, cams_sbi, ms.cam_from_base)
+    v6 = ts.vel
+    v6 = jnp.where(have_rot, v6.at[3:].set(sbi_rot), v6)
+    pose_pred = SE3.exp(v6) @ ts.pose
+
+    priority = _pair_priority(C, N)
+
+    # ---- 2+3. coarse stage (levels >= 2, 60 pts, 30 px)
+    pvs = compute_pvs(ms, cams, pose_pred)
+    coarse_valid = pvs["valid"] & (pvs["level"] >= 2)
+    c_idx, c_ok = _select_pairs(coarse_valid, priority, tcfg.coarse_max)
+    c_cam = (c_idx // N).astype(jnp.int32)
+    c_pt = (c_idx % N).astype(jnp.int32)
+    c_uv = pvs["uv"].reshape(-1, 2)[c_idx]
+    c_warp = pvs["warp"].reshape(-1, 2, 2)[c_idx]
+    c_lvl = pvs["level"].reshape(-1)[c_idx]
+    cf_found, cf_pos, cf_sub = search_pairs(
+        ms, feats, c_cam, c_pt, c_uv, c_warp, c_lvl, c_ok,
+        tcfg.coarse_range, jnp.asarray(float(tcfg.coarse_range)),
+        tcfg.coarse_sub_pix_its, max_ssd=64 * 250.0,
+    )
+    n_coarse_found = jnp.sum(cf_found)
+    do_coarse = n_coarse_found >= tcfg.coarse_min
+    pose_c, _, _, _ = pose_solve(
+        pose_pred, ms, cams, c_cam, c_pt, cf_found, cf_pos, c_lvl,
+        tcfg.coarse_iterations, tcfg.tracking_prior, tcfg.mest_sigma_min,
+    )
+    pose_after_coarse = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(do_coarse, a, b), pose_c, pose_pred
+    )
+
+    # ---- 4. fine stage: re-project under refined pose, all levels
+    pvs2 = compute_pvs(ms, cams, pose_after_coarse)
+    f_idx, f_ok = _select_pairs(pvs2["valid"], priority, tcfg.max_patches_per_frame)
+    f_cam = (f_idx // N).astype(jnp.int32)
+    f_pt = (f_idx % N).astype(jnp.int32)
+    f_uv = pvs2["uv"].reshape(-1, 2)[f_idx]
+    f_warp = pvs2["warp"].reshape(-1, 2, 2)[f_idx]
+    f_lvl = pvs2["level"].reshape(-1)[f_idx]
+    fine_range = jnp.where(
+        do_coarse, float(tcfg.fine_range), float(tcfg.fine_range_first)
+    )
+    ff_found, ff_pos, ff_sub = search_pairs(
+        ms, feats, f_cam, f_pt, f_uv, f_warp, f_lvl, f_ok,
+        tcfg.fine_range_first, fine_range, 10, max_ssd=64 * 250.0,
+    )
+
+    # ---- 5. pose solve
+    pose_new, H, w_final, e_final = pose_solve(
+        pose_after_coarse, ms, cams, f_cam, f_pt, ff_found, ff_pos, f_lvl,
+        tcfg.fine_iterations, tcfg.tracking_prior, tcfg.mest_sigma_min,
+    )
+    cov = jnp.linalg.pinv(H)
+    outlier = ff_found & (w_final <= 0.0)
+
+    # ---- 6. quality
+    attempted = jnp.zeros((C,)).at[f_cam].add(f_ok.astype(jnp.float32))
+    found_per_cam = jnp.zeros((C,)).at[f_cam].add(ff_found.astype(jnp.float32))
+    ratio = found_per_cam / jnp.maximum(attempted, 1.0)
+    q_cam = jnp.where(
+        ratio > tcfg.quality_good,
+        QUALITY_GOOD,
+        jnp.where(ratio > tcfg.quality_bad, QUALITY_DODGY, QUALITY_BAD),
+    )
+    q_cam = jnp.where(attempted > 0, q_cam, QUALITY_BAD)
+    quality = jnp.min(q_cam)  # overall = best camera (ref: overall max grade)
+    lost_count = jnp.where(
+        quality == QUALITY_BAD, ts.lost_count + 1, jnp.zeros((), jnp.int32)
+    )
+    lost = lost_count >= tcfg.lost_frame_thresh
+
+    # ---- scene depth per camera from found fine points
+    cfb = ms.cam_from_base
+    p_base = pose_new.apply(ms.points.pos_w[f_pt])
+    p_cam = jnp.einsum("kij,kj->ki", cfb.R[f_cam], p_base) + cfb.t[f_cam]
+    depth = jnp.linalg.norm(p_cam, axis=-1)
+    cam_onehot = jax.nn.one_hot(f_cam, C, axis=0) > 0  # (C,K)
+    depth_mask = cam_onehot & ff_found[None, :]
+    mean_depth, depth_sigma = robust_mean_depth(
+        jnp.broadcast_to(depth[None, :], depth_mask.shape), depth_mask
+    )
+
+    # ---- motion model update (ref UpdateMotionModel)
+    delta = (pose_new @ ts.pose.inv()).ln()
+    new_vel = 0.9 * delta
+    new_vel = jnp.where(lost, jnp.zeros(6), new_vel)
+
+    ts_new = ts.replace(
+        pose=pose_new,
+        vel=new_vel,
+        sbi_prev=feats.sbi,
+        sbi_prev_gx=feats.sbi_gx,
+        sbi_prev_gy=feats.sbi_gy,
+        have_prev=jnp.ones((), bool),
+        lost_count=lost_count,
+        quality=quality.astype(jnp.int32),
+    )
+    result = TrackResult(
+        pose=pose_new,
+        cov=cov,
+        sel_point=f_pt,
+        sel_cam=f_cam,
+        sel_level=f_lvl,
+        sel_pos_l0=ff_pos,
+        sel_found=ff_found,
+        sel_outlier=outlier,
+        sel_subpix=ff_sub,
+        num_found=found_per_cam,
+        num_attempted=attempted,
+        mean_depth=mean_depth,
+        depth_sigma=depth_sigma,
+        quality=quality.astype(jnp.int32),
+        quality_per_cam=q_cam.astype(jnp.int32),
+        lost=lost,
+        sbi_rot=sbi_rot,
+        tot_found=jnp.sum(ff_found),
+    )
+    return ts_new, result
+
+
+def apply_tracker_point_stats(ms: MapState, result: TrackResult,
+                              min_outliers: int = 20,
+                              outlier_multiplier: float = 1.0) -> MapState:
+    """Fold tracker in/outlier tallies into the map and flag bad points
+    (ref MapMakerClientBase::MarkOutliers, src/MapMakerClientBase.cc:73-94)."""
+    pts = ms.points
+    inl = result.sel_found & ~result.sel_outlier
+    in_count = pts.in_count.at[result.sel_point].add(inl.astype(jnp.int32))
+    out_count = pts.out_count.at[result.sel_point].add(
+        result.sel_outlier.astype(jnp.int32)
+    )
+    bad = pts.bad | (
+        (out_count > min_outliers)
+        & (out_count.astype(jnp.float32)
+           > outlier_multiplier * in_count.astype(jnp.float32))
+        & pts.valid & ~pts.fixed
+    )
+    return ms.replace(
+        points=pts.replace(in_count=in_count, out_count=out_count, bad=bad)
+    )
