@@ -1,0 +1,354 @@
+"""Batched Levenberg-Marquardt bundle adjustment with Schur elimination.
+
+The TPU-native replacement for the reference's ChainBundle — a g2o
+BlockSolverX + CHOLMOD sparse LM over pose chains
+(src/ChainBundle.cc:976-1451).  Same problem structure, XLA-shaped:
+
+  * pose chain per measurement: world --pose_a--> base --pose_b--> camera
+    (covers BundleAdjusterMulti: pose_a = MKF base movable, pose_b =
+    cam-from-base fixed; BundleAdjusterSingle: pose_b = identity; and
+    BundleAdjusterCalib: pose_b movable shared extrinsics —
+    src/BundleAdjuster{Multi,Single,Calib}.cc);
+  * analytic Jacobians via SE3 generator fields + Taylor camera sphere
+    derivs (ref EdgeChainMeas::linearizeOplus, src/ChainBundle.cc:449-749),
+    batched over all measurements at once;
+  * adaptive Huber robustification, sigma re-estimated *every iteration*
+    from the median chi2 with a 0.5 px floor (ref RobustKernelAdaptive,
+    src/ChainBundle.cc:791-901);
+  * measurement noise = LevelScale^2 (ref BundleAdjusterMulti.cc:55-203);
+  * reduced camera system by Schur complement on the point diagonal: W
+    blocks are scatter-added into a dense (P, L, 6, 3) tensor (P = #poses
+    is small), the correction W V^-1 W^T is two einsums (MXU work), and
+    the ~P*6-dim reduced system is one dense solve — replacing CHOLMOD;
+  * LM lambda with accept/reject, convergence on update-RMS < 1e-10 or
+    relative residual change < 1e-10, max 100 iterations
+    (ref src/ChainBundle.cc:1132-1136,1305-1366).
+
+The whole LM step is one jitted function; the host runs steps in chunks so
+incoming keyframes can preempt optimization exactly like the reference's
+abort flag (SURVEY §2.11(2)).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mcptam_tpu.config import BundleConfig, DEFAULT_BUNDLE
+from mcptam_tpu.core.se3 import SE3
+from mcptam_tpu.core.camera import (
+    CameraModel, project, projection_derivs_sphere, cam_sphere_deriv,
+)
+from mcptam_tpu.core import mest
+
+
+@struct.dataclass
+class BundleProblem:
+    """Static-capacity bundle problem.
+
+    pose_a: (Pa,) outer poses (X-from-world); pose_b: (Pb,) inner poses
+    (cam-from-X).  Measurements reference one of each plus a point and a
+    camera model index."""
+
+    pose_a: SE3
+    pose_b: SE3
+    movable_a: jnp.ndarray   # (Pa,) bool
+    movable_b: jnp.ndarray   # (Pb,) bool
+    points: jnp.ndarray      # (L,3)
+    movable_pt: jnp.ndarray  # (L,) bool
+    m_pose_a: jnp.ndarray    # (K,) int32
+    m_pose_b: jnp.ndarray    # (K,) int32
+    m_point: jnp.ndarray     # (K,) int32
+    m_cam: jnp.ndarray       # (K,) int32 camera-model index
+    m_uv: jnp.ndarray        # (K,2) measured level-0 position
+    m_level: jnp.ndarray     # (K,)
+    m_valid: jnp.ndarray     # (K,) bool
+
+
+@struct.dataclass
+class LMState:
+    pose_a: SE3
+    pose_b: SE3
+    points: jnp.ndarray
+    lam: jnp.ndarray          # LM lambda
+    cost: jnp.ndarray         # robustified cost at current estimate
+    sigma_sq: jnp.ndarray     # current robust sigma^2 (level-scaled px^2)
+    converged: jnp.ndarray    # bool
+    accepted: jnp.ndarray     # int32 count
+    iterations: jnp.ndarray   # int32 count
+    max_update: jnp.ndarray   # last accepted update RMS
+
+
+def _residuals_and_jacobians(prob: BundleProblem, pose_a: SE3, pose_b: SE3,
+                             points, cams: CameraModel):
+    """Per-measurement residuals (level-scaled) + Jacobians wrt pose_a (6),
+    pose_b (6), point (3)."""
+    pa = jax.tree_util.tree_map(lambda x: x[prob.m_pose_a], pose_a)
+    pb = jax.tree_util.tree_map(lambda x: x[prob.m_pose_b], pose_b)
+    pt = points[prob.m_point]
+    cam = jax.tree_util.tree_map(lambda x: x[prob.m_cam], cams)
+
+    p_base = pa.apply(pt)
+    p_cam = pb.apply(p_base)
+    uv_hat, proj_ok = project(cam, p_cam)
+    duv2 = projection_derivs_sphere(cam, p_cam)      # (K,2,2)
+    d_th, d_ph = cam_sphere_deriv(p_cam)             # (K,3)
+    sph = jnp.stack([d_th, d_ph], axis=-2)           # (K,2,3)
+    duv = jnp.einsum("kij,kjl->kil", duv2, sph)      # (K,2,3) d uv/d p_cam
+
+    def gens(p):
+        K = p.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(3), (K, 3, 3))
+        z = jnp.zeros(K)
+        px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+        rot = jnp.stack(
+            [
+                jnp.stack([z, -pz, py], -1),
+                jnp.stack([pz, z, -px], -1),
+                jnp.stack([-py, px, z], -1),
+            ],
+            axis=1,
+        )
+        return jnp.concatenate([eye, rot], axis=1)   # (K,6,3)
+
+    # d p_cam / d delta_a = R_b @ gen(p_base); / d delta_b = gen(p_cam)
+    dcam_a = jnp.einsum("kij,kgj->kgi", pb.R, gens(p_base))
+    dcam_b = gens(p_cam)
+    Ja = jnp.einsum("kil,kgl->kig", duv, dcam_a)     # (K,2,6)
+    Jb = jnp.einsum("kil,kgl->kig", duv, dcam_b)
+    Rba = jnp.einsum("kij,kjl->kil", pb.R, pa.R)
+    Jl = jnp.einsum("kil,klm->kim", duv, Rba)        # (K,2,3)
+
+    inv_scale = 1.0 / (2.0 ** prob.m_level.astype(jnp.float32))
+    e = (prob.m_uv - uv_hat) * inv_scale[:, None]
+
+    ok = prob.m_valid & proj_ok
+    ok = ok & jnp.isfinite(e).all(-1) & jnp.isfinite(Ja).all((-2, -1)) \
+        & jnp.isfinite(Jb).all((-2, -1)) & jnp.isfinite(Jl).all((-2, -1))
+    zero = lambda x, nd: jnp.where(ok.reshape((-1,) + (1,) * nd), x, 0.0)
+    e = zero(e, 1)
+    Ja = zero(Ja, 2) * prob.movable_a[prob.m_pose_a][:, None, None]
+    Jb = zero(Jb, 2) * prob.movable_b[prob.m_pose_b][:, None, None]
+    Jl = zero(Jl, 2) * prob.movable_pt[prob.m_point][:, None, None]
+    Ja = Ja * inv_scale[:, None, None]
+    Jb = Jb * inv_scale[:, None, None]
+    Jl = Jl * inv_scale[:, None, None]
+    return e, Ja, Jb, Jl, ok
+
+
+def _robust(e, ok, bcfg: BundleConfig):
+    """Adaptive Huber: sigma = max(sqrt(median chi2), min_sigma)
+    (ref RobustKernelAdaptive, src/ChainBundle.cc:871-901)."""
+    chi2 = jnp.sum(e * e, axis=-1)
+    med = mest.masked_median(chi2, ok)
+    sigma_sq = jnp.maximum(med, bcfg.min_sigma_px**2)
+    w = mest.weight(mest.HUBER, chi2, sigma_sq) * ok
+    cost = jnp.sum(mest.objective_score(mest.HUBER, chi2, sigma_sq) * ok)
+    return w, cost, sigma_sq
+
+
+def _solve_delta(prob: BundleProblem, e, Ja, Jb, Jl, w, lam):
+    """One damped GN solve via Schur complement.  Returns (delta_a (Pa,6),
+    delta_b (Pb,6), delta_pt (L,3))."""
+    Pa = prob.movable_a.shape[0]
+    Pb = prob.movable_b.shape[0]
+    P = Pa + Pb
+    L = prob.points.shape[0]
+
+    # stack pose Jacobians into one pose index space
+    ga = prob.m_pose_a                                     # (K,)
+    gb = Pa + prob.m_pose_b
+    gpose = jnp.concatenate([ga, gb])                      # (2K,)
+    Jp2 = jnp.concatenate([Ja, Jb], axis=0)                # (2K,2,6)
+    e2 = jnp.concatenate([e, e], axis=0)
+    w2 = jnp.concatenate([w, w], axis=0)
+    pt2 = jnp.concatenate([prob.m_point, prob.m_point])
+
+    # full pose-pose Hessian blocks: diagonal (a,a)/(b,b) AND the (a,b)
+    # cross blocks a measurement's two chain poses share
+    Hpp = jnp.zeros((P, P, 6, 6))
+    Hpp = Hpp.at[gpose, gpose].add(
+        jnp.einsum("k,kiv,kiw->kvw", w2, Jp2, Jp2)
+    )
+    Hab = jnp.einsum("k,kiv,kiw->kvw", w, Ja, Jb)
+    Hpp = Hpp.at[ga, gb].add(Hab)
+    Hpp = Hpp.at[gb, ga].add(jnp.swapaxes(Hab, -1, -2))
+    b_p = jnp.zeros((P, 6)).at[gpose].add(
+        jnp.einsum("k,kiv,ki->kv", w2, Jp2, e2)
+    )
+    # V (L,3,3), b_l (L,3)
+    V = jnp.zeros((L, 3, 3)).at[prob.m_point].add(
+        jnp.einsum("k,kiv,kiw->kvw", w, Jl, Jl)
+    )
+    b_l = jnp.zeros((L, 3)).at[prob.m_point].add(
+        jnp.einsum("k,kiv,ki->kv", w, Jl, e)
+    )
+    # W (P,L,6,3)
+    W = jnp.zeros((P, L, 6, 3)).at[gpose, pt2].add(
+        jnp.einsum("k,kiv,kiw->kvw", w2, Jp2, jnp.concatenate([Jl, Jl], 0))
+    )
+
+    # LM damping on diagonals
+    eyeP = jnp.eye(6)
+    eyeL = jnp.eye(3)
+    diag_idx = jnp.arange(P)
+    Udiag = Hpp[diag_idx, diag_idx]
+    Hpp = Hpp.at[diag_idx, diag_idx].add(lam * (Udiag * eyeP) + 1e-8 * eyeP)
+    Vd = V + lam * (V * eyeL) + 1e-8 * eyeL
+
+    Vinv = jnp.linalg.inv(Vd) * prob.movable_pt[:, None, None]
+
+    # Schur: S = Hpp - W Vinv W^T ; b_s = b_p - W Vinv b_l
+    T = jnp.einsum("plvw,lwx->plvx", W, Vinv)              # (P,L,6,3)
+    S_corr = jnp.einsum("plvx,qlwx->pqvw", T, W)           # (P,P,6,6)
+    S = Hpp - S_corr
+    b_s = b_p - jnp.einsum("plvx,lx->pv", T, b_l)
+
+    # flatten, mask fixed poses
+    movable = jnp.concatenate([prob.movable_a, prob.movable_b])
+    mvec = jnp.repeat(movable, 6).astype(jnp.float32)       # (6P,)
+    Sf = S.transpose(0, 2, 1, 3).reshape(6 * P, 6 * P)
+    Sf = Sf * mvec[:, None] * mvec[None, :] + jnp.diag(1.0 - mvec)
+    bf = b_s.reshape(-1) * mvec
+    delta_p = jnp.linalg.solve(Sf, bf).reshape(P, 6)
+    delta_p = delta_p * movable[:, None]
+
+    # back-substitute points
+    rhs = b_l - jnp.einsum("plvx,pv->lx", W, delta_p)
+    delta_l = jnp.einsum("lxy,ly->lx", Vinv, rhs)
+    return delta_p[:Pa], delta_p[Pa:], delta_l
+
+
+def lm_step(prob: BundleProblem, st: LMState, cams: CameraModel,
+            bcfg: BundleConfig = DEFAULT_BUNDLE):
+    """One LM iteration with accept/reject.  Frozen once converged."""
+    e, Ja, Jb, Jl, ok = _residuals_and_jacobians(
+        prob, st.pose_a, st.pose_b, st.points, cams
+    )
+    w, cost0, sigma_sq = _robust(e, ok, bcfg)
+    da, db, dl = _solve_delta(prob, e, Ja, Jb, Jl, w, st.lam)
+
+    new_pose_a = SE3.exp(da) @ st.pose_a
+    new_pose_b = SE3.exp(db) @ st.pose_b
+    new_points = st.points + dl
+
+    e1, _, _, _, ok1 = _residuals_and_jacobians(
+        prob, new_pose_a, new_pose_b, new_points, cams
+    )
+    # evaluate new cost under the SAME sigma for a fair comparison
+    chi2_1 = jnp.sum(e1 * e1, axis=-1)
+    cost1 = jnp.sum(mest.objective_score(mest.HUBER, chi2_1, sigma_sq) * ok1)
+
+    accept = cost1 < cost0
+    n_upd = (
+        jnp.sum(da * da) + jnp.sum(db * db) + jnp.sum(dl * dl)
+    )
+    n_params = (
+        6.0 * (jnp.sum(prob.movable_a) + jnp.sum(prob.movable_b))
+        + 3.0 * jnp.sum(prob.movable_pt)
+    )
+    upd_rms = jnp.sqrt(n_upd / jnp.maximum(n_params, 1.0))
+    rel_delta = jnp.abs(cost0 - cost1) / jnp.maximum(cost0, 1e-20)
+    # converged when the (attempted) update or the residual change is below
+    # threshold — whether or not the step was accepted; a stalled reject
+    # loop at machine precision must latch too
+    converged = (
+        (upd_rms < bcfg.update_rms_conv) | (rel_delta < bcfg.residual_delta_conv)
+    )
+
+    act = accept & ~st.converged
+    sel = lambda a, b: jax.tree_util.tree_map(
+        lambda x, y: jnp.where(act, x, y), a, b
+    )
+    return st.replace(
+        pose_a=sel(new_pose_a, st.pose_a),
+        pose_b=sel(new_pose_b, st.pose_b),
+        points=jnp.where(act, new_points, st.points),
+        lam=jnp.clip(
+            jnp.where(
+                st.converged, st.lam,
+                jnp.where(accept, st.lam * bcfg.lambda_down, st.lam * bcfg.lambda_up),
+            ),
+            1e-10, 1e8,
+        ),
+        cost=jnp.where(act, cost1, cost0),
+        sigma_sq=sigma_sq,
+        converged=st.converged | converged,
+        accepted=st.accepted + act.astype(jnp.int32),
+        iterations=st.iterations + (~st.converged).astype(jnp.int32),
+        max_update=jnp.where(act, upd_rms, st.max_update),
+    )
+
+
+def create_lm_state(prob: BundleProblem,
+                    bcfg: BundleConfig = DEFAULT_BUNDLE) -> LMState:
+    return LMState(
+        pose_a=prob.pose_a,
+        pose_b=prob.pose_b,
+        points=prob.points,
+        lam=jnp.asarray(bcfg.lambda_init),
+        cost=jnp.asarray(jnp.inf),
+        sigma_sq=jnp.asarray(1.0),
+        converged=jnp.zeros((), bool),
+        accepted=jnp.zeros((), jnp.int32),
+        iterations=jnp.zeros((), jnp.int32),
+        max_update=jnp.asarray(jnp.inf),
+    )
+
+
+def lm_run(prob: BundleProblem, st: LMState, cams: CameraModel,
+           n_steps: int, bcfg: BundleConfig = DEFAULT_BUNDLE) -> LMState:
+    """Run up to n_steps LM iterations (jit this; host chunks calls so
+    map-maker preemption can abort between chunks like the reference's
+    setForceStopFlag polling, src/ChainBundle.cc:1309)."""
+    def body(s, _):
+        return lm_step(prob, s, cams, bcfg), None
+
+    st, _ = jax.lax.scan(body, st, None, length=n_steps)
+    return st
+
+
+def tukey_outlier_pass(prob: BundleProblem, st: LMState, cams: CameraModel):
+    """Post-optimization Tukey scan flagging outlier measurements
+    (ref ChainBundle::Compute post-run, src/ChainBundle.cc:1368-1410).
+    Returns (K,) bool outlier mask."""
+    e, _, _, _, ok = _residuals_and_jacobians(
+        prob, st.pose_a, st.pose_b, st.points, cams
+    )
+    chi2 = jnp.sum(e * e, axis=-1)
+    sigma_sq = jnp.maximum(
+        mest.find_sigma_squared(chi2, ok), DEFAULT_BUNDLE.min_sigma_px**2
+    )
+    w = mest.weight(mest.TUKEY, chi2, sigma_sq)
+    return ok & (w <= 0.0)
+
+
+def point_depth_covariance(prob: BundleProblem, st: LMState,
+                           cams: CameraModel):
+    """Approximate per-point radial depth variance: r^T V^-1 r with V the
+    point's information (poses held fixed).  The reference computes the
+    exact marginal via CHOLMOD and reports the median radial entry
+    (src/ChainBundle.cc:1414-1448); this proxy is monotone in the same
+    quantity and serves the same init-convergence gate.  Returns
+    (median_cov scalar, per-point cov (L,))."""
+    e, Ja, Jb, Jl, ok = _residuals_and_jacobians(
+        prob, st.pose_a, st.pose_b, st.points, cams
+    )
+    w, _, _ = _robust(e, ok, DEFAULT_BUNDLE)
+    L = prob.points.shape[0]
+    V = jnp.zeros((L, 3, 3)).at[prob.m_point].add(
+        jnp.einsum("k,kiv,kiw->kvw", w, Jl, Jl)
+    )
+    Vinv = jnp.linalg.inv(V + 1e-6 * jnp.eye(3))
+    # radial direction: from first-observing camera to point — approximate
+    # with the point's bearing from the origin-most pose_a; use unit pos
+    # relative to its source pose_a translation
+    src_pose = jax.tree_util.tree_map(lambda x: x[0], st.pose_a)
+    d = st.points - src_pose.inv().t[None, :]
+    n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    r = d / jnp.where(n < 1e-9, 1.0, n)
+    cov = jnp.einsum("li,lij,lj->l", r, Vinv, r)
+    has_obs = jnp.zeros(L, bool).at[prob.m_point].max(ok) & prob.movable_pt
+    med = mest.masked_median(cov, has_obs)
+    return med, cov

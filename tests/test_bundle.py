@@ -1,0 +1,191 @@
+"""Bundle adjustment tests on synthetic problems with known ground truth."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcptam_tpu.core.se3 import SE3
+from mcptam_tpu.core.camera import project
+from mcptam_tpu.io.synthetic import make_rig
+from mcptam_tpu.ba.bundle import (
+    BundleProblem, create_lm_state, lm_run, lm_step, tukey_outlier_pass,
+    point_depth_covariance, _residuals_and_jacobians,
+)
+from mcptam_tpu.config import BundleConfig
+
+H, W = 240, 320
+
+
+def build_problem(rng, n_poses=4, n_points=120, n_cams=2, noise_px=0.0,
+                  perturb=0.02, movable_b=False, outlier_frac=0.0):
+    """Ground-truth multi-camera bundle problem: points on a shell around
+    the rig, every point measured in every (pose, cam)."""
+    cams, cam_from_base = make_rig(n_cams, H, W, spread_deg=25.0)
+
+    # ground-truth MKF poses: small motions
+    gt_tangents = rng.normal(size=(n_poses, 6)) * np.array(
+        [0.1, 0.1, 0.1, 0.03, 0.03, 0.03]
+    )
+    gt_tangents[0] = 0
+    pose_a_gt = SE3.exp(jnp.asarray(gt_tangents, jnp.float32))
+
+    # points in front of the rig at 3-8m
+    dirs = rng.normal(size=(n_points, 3))
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 0.8
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    depth = rng.uniform(3.0, 8.0, (n_points, 1))
+    pts_gt = jnp.asarray(dirs * depth, jnp.float32)
+
+    # measurements
+    m_pose_a, m_pose_b, m_point, m_cam, m_uv, m_level, m_valid = [], [], [], [], [], [], []
+    for p in range(n_poses):
+        for c in range(n_cams):
+            pose = cam_from_base[c] @ pose_a_gt[p]
+            uv, ok = project(cams[c], pose.apply(pts_gt))
+            uv = np.asarray(uv)
+            ok = np.asarray(ok)
+            if noise_px > 0:
+                uv = uv + rng.normal(size=uv.shape) * noise_px
+            m_pose_a.append(np.full(n_points, p))
+            m_pose_b.append(np.full(n_points, c))
+            m_point.append(np.arange(n_points))
+            m_cam.append(np.full(n_points, c))
+            m_uv.append(uv)
+            m_level.append(np.zeros(n_points))
+            m_valid.append(ok)
+    K = n_poses * n_cams * n_points
+    m_uv = np.concatenate(m_uv).astype(np.float32)
+    m_valid = np.concatenate(m_valid)
+    out_mask = np.zeros(K, bool)
+    if outlier_frac > 0:
+        n_out = int(K * outlier_frac)
+        idx = rng.choice(K, n_out, replace=False)
+        m_uv[idx] += rng.uniform(10, 30, (n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+        out_mask[idx] = True
+
+    # perturb initial estimate
+    pert = rng.normal(size=(n_poses, 6)) * perturb
+    pert[0] = 0
+    pose_a_init = SE3.exp(jnp.asarray(pert, jnp.float32)) @ pose_a_gt
+    pts_init = pts_gt + jnp.asarray(rng.normal(size=(n_points, 3)) * perturb * 2, jnp.float32)
+
+    movable_a = jnp.asarray([False] + [True] * (n_poses - 1))
+    prob = BundleProblem(
+        pose_a=pose_a_init,
+        pose_b=cam_from_base,
+        movable_a=movable_a,
+        movable_b=jnp.asarray([False] * n_cams) if not movable_b
+        else jnp.asarray([False] + [True] * (n_cams - 1)),
+        points=pts_init,
+        movable_pt=jnp.ones(n_points, bool),
+        m_pose_a=jnp.asarray(np.concatenate(m_pose_a), jnp.int32),
+        m_pose_b=jnp.asarray(np.concatenate(m_pose_b), jnp.int32),
+        m_point=jnp.asarray(np.concatenate(m_point), jnp.int32),
+        m_cam=jnp.asarray(np.concatenate(m_cam), jnp.int32),
+        m_uv=jnp.asarray(m_uv),
+        m_level=jnp.asarray(np.concatenate(m_level), jnp.int32),
+        m_valid=jnp.asarray(m_valid),
+    )
+    return prob, cams, pose_a_gt, pts_gt, out_mask
+
+
+def rms_reproj(prob, st, cams):
+    e, _, _, _, ok = _residuals_and_jacobians(
+        prob, st.pose_a, st.pose_b, st.points, cams
+    )
+    chi2 = jnp.sum(e * e, -1)
+    return float(jnp.sqrt(jnp.sum(jnp.where(ok, chi2, 0)) / jnp.sum(ok)))
+
+
+def test_perfect_data_converges_to_zero(rng):
+    prob, cams, pose_gt, pts_gt, _ = build_problem(rng, noise_px=0.0)
+    st = create_lm_state(prob)
+    st = lm_run(prob, st, cams, 30)
+    assert rms_reproj(prob, st, cams) < 2e-3
+    # poses recovered
+    for p in range(1, 4):
+        err = np.asarray((st.pose_a[p] @ pose_gt[p].inv()).ln())
+        assert np.linalg.norm(err) < 2e-3, (p, err)
+    # points recovered
+    perr = np.linalg.norm(np.asarray(st.points - pts_gt), axis=-1)
+    assert np.median(perr) < 5e-3
+
+
+def test_fixed_pose_stays_fixed(rng):
+    prob, cams, pose_gt, pts_gt, _ = build_problem(rng)
+    st = create_lm_state(prob)
+    st = lm_run(prob, st, cams, 10)
+    err = np.asarray((st.pose_a[0] @ prob.pose_a[0].inv()).ln())
+    assert np.linalg.norm(err) == 0.0
+
+
+def test_noisy_data_reasonable(rng):
+    prob, cams, pose_gt, pts_gt, _ = build_problem(rng, noise_px=0.3)
+    st = create_lm_state(prob)
+    st = lm_run(prob, st, cams, 40)
+    rms = rms_reproj(prob, st, cams)
+    assert rms < 0.5, rms  # should settle near the noise floor
+    assert int(st.accepted) > 3
+
+
+def test_convergence_flag(rng):
+    prob, cams, *_ = build_problem(rng, noise_px=0.0)
+    st = create_lm_state(prob)
+    st = lm_run(prob, st, cams, 60)
+    assert bool(st.converged)
+
+
+def test_outlier_pass(rng):
+    prob, cams, pose_gt, pts_gt, out_mask = build_problem(
+        rng, noise_px=0.2, outlier_frac=0.05
+    )
+    st = create_lm_state(prob)
+    st = lm_run(prob, st, cams, 40)
+    flagged = np.asarray(tukey_outlier_pass(prob, st, cams))
+    planted = out_mask & np.asarray(prob.m_valid)
+    # most planted outliers get flagged; few inliers falsely flagged
+    recall = flagged[planted].mean()
+    fp = flagged[~planted].mean()
+    assert recall > 0.8, recall
+    assert fp < 0.1, fp
+
+
+def test_calib_variant_recovers_extrinsics(rng):
+    """BundleAdjusterCalib analogue: perturb camera 1's extrinsic, mark it
+    movable, and verify BA recovers the true cam-from-base."""
+    prob, cams, pose_gt, pts_gt, _ = build_problem(
+        rng, n_poses=5, movable_b=True, perturb=0.0
+    )
+    true_b = prob.pose_b
+    # small perturbation: the adaptive-Huber kernel (sigma from median chi2,
+    # as in the reference) heavily downweights grossly wrong cameras, so
+    # large extrinsic errors converge only over many repeated runs — the
+    # reference drives this via repeated CalibOneStep calls too
+    # (src/MapMakerCalib.cc:495-528)
+    pert = jnp.zeros((2, 6)).at[1].set(
+        jnp.asarray([0.004, -0.002, 0.003, 0.002, -0.0016, 0.0024])
+    )
+    prob = prob.replace(pose_b=SE3.exp(pert) @ prob.pose_b)
+    st = create_lm_state(prob)
+    st = lm_run(prob, st, cams, 60)
+    err = np.asarray((st.pose_b[1] @ true_b[1].inv()).ln())
+    assert np.linalg.norm(err) < 5e-4, err
+    assert rms_reproj(prob, st, cams) < 1e-2
+
+
+def test_point_depth_covariance(rng):
+    prob, cams, *_ = build_problem(rng, noise_px=0.2)
+    st = create_lm_state(prob)
+    st = lm_run(prob, st, cams, 20)
+    med, cov = point_depth_covariance(prob, st, cams)
+    assert float(med) > 0
+    assert np.isfinite(float(med))
+
+
+def test_lm_step_jits(rng):
+    prob, cams, *_ = build_problem(rng, n_points=40, n_poses=2)
+    st = create_lm_state(prob)
+    f = jax.jit(lambda p, s: lm_step(p, s, cams))
+    st2 = f(prob, st)
+    assert np.isfinite(float(st2.cost))
