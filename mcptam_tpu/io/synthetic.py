@@ -123,7 +123,9 @@ def make_rig(n_cams: int, H: int = 480, W: int = 640, spread_deg: float = 30.0):
             [[np.cos(y), 0, -np.sin(y)], [0, 1, 0], [np.sin(y), 0, np.cos(y)]],
             np.float32,
         )
-        t = np.array([0.05 * (i % 2), -0.03 * i, 0.0], np.float32)
+        # decimeter-scale baselines like the reference's camera clusters —
+        # triangulation depth accuracy scales with baseline/depth
+        t = np.array([0.25 * (i % 2), -0.08 * i, 0.0], np.float32)
         Rs.append(R)
         ts.append(t)
     cam_from_base = SE3(R=jnp.asarray(np.stack(Rs)), t=jnp.asarray(np.stack(ts)))

@@ -1,0 +1,159 @@
+"""Map-maker tests: epipolar point creation, map init, refinds, BA-on-map,
+and the closed SLAM loop on the synthetic scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcptam_tpu.config import MapMakerConfig, TrackerConfig
+from mcptam_tpu.core.se3 import SE3
+from mcptam_tpu.core.camera import unproject
+from mcptam_tpu.core.levels import level_zero_pos
+from mcptam_tpu.io.synthetic import make_rig, make_sbi_cams, render_rig, ray_depth
+from mcptam_tpu.map.state import create_map_state, kf_cam_from_world
+from mcptam_tpu.map.keyframe import make_frame_features
+from mcptam_tpu.map.mapmaker_core import init_from_mkf, integrate_mkf, need_new_mkf
+from mcptam_tpu.map.refind import refind_in_keyframes, measurement_table
+from mcptam_tpu.ba.adjusters import problem_all, problem_recent, writeback
+from mcptam_tpu.ba.bundle import create_lm_state, lm_run
+from mcptam_tpu.tracker.tracker import track_frame, create_tracker_state
+
+H, W = 240, 320
+C = 2
+SEED = 3.0
+MCFG = MapMakerConfig(init_depth=5.0)
+TCFG = TrackerConfig(max_patches_per_frame=200, coarse_max=20, coarse_min=6)
+
+
+@pytest.fixture(scope="module")
+def world():
+    cams, cam_from_base = make_rig(C, H, W, spread_deg=25.0)
+    cams_sbi = make_sbi_cams(cams, H, W)
+    return cams, cam_from_base, cams_sbi
+
+
+@pytest.fixture(scope="module")
+def init_map(world):
+    cams, cam_from_base, cams_sbi = world
+    images = render_rig(cams, cam_from_base, SE3.identity(), SEED, H, W)
+    feats = make_frame_features(images)
+    ms = create_map_state(
+        H, W, C, cam_from_base, max_points=1024, max_mkfs=8, max_meas=8192
+    )
+    ms, mkf_idx = init_from_mkf(ms, cams, feats, SE3.identity(), MCFG)
+    return ms
+
+
+def test_init_creates_points(init_map):
+    ms = init_map
+    n = int(jnp.sum(ms.points.valid))
+    assert n >= MCFG.min_map_points, n
+    assert int(jnp.sum(ms.mkfs.valid)) == 1
+    assert bool(ms.mkfs.fixed[0])
+
+
+def test_epipolar_depths_near_truth(world, init_map):
+    """Epipolar-triangulated points (those with 2 measurements) must have
+    near-ground-truth positions: the sphere surface at radius 6."""
+    ms = init_map
+    counts = np.zeros(ms.points.capacity, np.int32)
+    mvalid = np.asarray(ms.meas.valid)
+    for p, v in zip(np.asarray(ms.meas.point), mvalid):
+        if v:
+            counts[p] += 1
+    stereo = (counts >= 2) & np.asarray(ms.points.valid)
+    assert stereo.sum() >= 10, stereo.sum()
+    radii = np.linalg.norm(np.asarray(ms.points.pos_w)[stereo], axis=-1)
+    # points lie on the radius-6 sphere (cameras near origin)
+    med_err = np.median(np.abs(radii - 6.0))
+    assert med_err < 0.25, (med_err, np.percentile(np.abs(radii - 6.0), [50, 90]))
+
+
+def test_tracking_on_epipolar_map(world, init_map):
+    cams, cam_from_base, cams_sbi = world
+    ms = init_map
+    true_pose = SE3.exp(jnp.asarray([0.04, -0.02, 0.03, 0.01, -0.015, 0.008]))
+    images = render_rig(cams, cam_from_base, true_pose, SEED, H, W)
+    feats = make_frame_features(images)
+    ts = create_tracker_state(C)
+    ts, res = track_frame(ts, ms, cams, cams_sbi, feats, TCFG)
+    err = np.linalg.norm(np.asarray((res.pose @ true_pose.inv()).ln()))
+    assert err < 0.03, err
+
+
+def test_global_ba_reduces_error(world, init_map):
+    cams, cam_from_base, cams_sbi = world
+    ms = init_map
+    prob = problem_all(ms)
+    st0 = create_lm_state(prob)
+    st = lm_run(prob, st0, cams, 25)
+    assert float(st.cost) < float(st0.cost) if np.isfinite(float(st0.cost)) else True
+    assert int(st.accepted) >= 1
+    ms2 = writeback(ms, prob, st)
+    # movable (>=2 meas) points should stay near the sphere (no divergence);
+    # single-measurement fixed-depth fallback points are immovable by design
+    movable = np.asarray(prob.movable_pt)
+    radii = np.linalg.norm(np.asarray(ms2.points.pos_w)[movable], axis=-1)
+    assert movable.sum() >= 10
+    assert np.median(np.abs(radii - 6.0)) < 0.5
+
+
+def test_refind_adds_measurements(world, init_map):
+    """Integrate a second viewpoint; refinds must attach old points to it."""
+    cams, cam_from_base, cams_sbi = world
+    ms = init_map
+    pose2 = SE3.exp(jnp.asarray([0.08, 0.0, 0.05, 0.0, 0.02, 0.0]))
+    images = render_rig(cams, cam_from_base, pose2, SEED, H, W)
+    feats = make_frame_features(images)
+    ms2, mkf_idx = integrate_mkf(ms, cams, feats, pose2, None, MCFG)
+    assert int(jnp.sum(ms2.mkfs.valid)) == 2
+    tab = np.asarray(measurement_table(ms2))
+    n_new_kf_meas = tab[int(mkf_idx)].sum()
+    assert n_new_kf_meas > 20, n_new_kf_meas
+    # new points were created too
+    assert int(jnp.sum(ms2.points.valid)) > int(jnp.sum(ms.points.valid))
+
+
+def test_need_new_mkf_heuristic(world, init_map):
+    ms = init_map
+    near, _ = need_new_mkf(ms, SE3.identity(), jnp.asarray(6.0), MCFG)
+    assert not bool(near)
+    far_pose = SE3.exp(jnp.asarray([3.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    far, _ = need_new_mkf(ms, far_pose, jnp.asarray(6.0), MCFG)
+    assert bool(far)
+
+
+def test_slam_loop(world):
+    """Closed loop: init, track a trajectory, add MKFs when the heuristic
+    fires, run local BA, keep tracking — trajectory error stays bounded."""
+    cams, cam_from_base, cams_sbi = world
+    images = render_rig(cams, cam_from_base, SE3.identity(), SEED, H, W)
+    feats = make_frame_features(images)
+    ms = create_map_state(
+        H, W, C, cam_from_base, max_points=2048, max_mkfs=8, max_meas=8192
+    )
+    mcfg = MapMakerConfig(init_depth=5.0, max_scaled_mkf_dist=0.04)
+    ms, _ = init_from_mkf(ms, cams, feats, SE3.identity(), mcfg)
+    ts = create_tracker_state(C)
+
+    errs = []
+    n_mkfs_added = 0
+    for i in range(1, 7):
+        v = jnp.asarray([0.05 * i, 0.0, 0.03 * i, 0.0, 0.02 * i, 0.0])
+        true_pose = SE3.exp(v)
+        images = render_rig(cams, cam_from_base, true_pose, SEED, H, W)
+        feats = make_frame_features(images)
+        ts, res = track_frame(ts, ms, cams, cams_sbi, feats, TCFG)
+        errs.append(np.linalg.norm(np.asarray((res.pose @ true_pose.inv()).ln())))
+        mean_depth = jnp.mean(res.mean_depth)
+        add, _ = need_new_mkf(ms, res.pose, mean_depth, mcfg)
+        if bool(add) and int(res.quality) == 0:
+            ms, _ = integrate_mkf(ms, cams, feats, res.pose, res, mcfg)
+            n_mkfs_added += 1
+            prob = problem_recent(ms)
+            st = lm_run(prob, create_lm_state(prob), cams, 15)
+            ms = writeback(ms, prob, st)
+    assert n_mkfs_added >= 1, n_mkfs_added
+    assert max(errs) < 0.05, errs
+    assert int(jnp.sum(ms.points.valid)) > 100
