@@ -1,0 +1,87 @@
+"""Map persistence: dump AND load (the reference only dumps).
+
+The reference exports maps to ASCII (map.dat: camera rig, MKF poses,
+points, measurements — src/MapMakerBase.cc:475-579) and camera models
+(cameras.dat, src/SystemBase.cc:166-215) but has no loader, so no true
+resume (SURVEY §5).  Here the full MapState round-trips through one npz
+(checkpoint/resume), and an ASCII summary compatible in spirit with
+map.dat is emitted for inspection."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mcptam_tpu.map.state import MapState
+
+
+def save_map(path: str, ms: MapState):
+    """Serialize the complete MapState to an npz file."""
+    leaves, treedef = jax.tree_util.tree_flatten(ms)
+    np.savez_compressed(
+        path, n_leaves=len(leaves),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+
+
+def load_map(path: str, template: MapState) -> MapState:
+    """Restore a MapState saved by :func:`save_map`.  `template` supplies
+    the pytree structure (capacities must match)."""
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    n = int(data["n_leaves"])
+    if n != len(leaves):
+        raise ValueError(f"leaf count mismatch: file {n} vs template {len(leaves)}")
+    new_leaves = [
+        jnp.asarray(data[f"leaf_{i}"]).astype(leaves[i].dtype)
+        for i in range(n)
+    ]
+    for i, (a, b) in enumerate(zip(new_leaves, leaves)):
+        if a.shape != b.shape:
+            raise ValueError(f"leaf {i} shape mismatch: {a.shape} vs {b.shape}")
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def dump_map_ascii(path: str, ms: MapState):
+    """Human-readable dump in the spirit of the reference's map.dat
+    (src/MapMakerBase.cc:475-579): rig extrinsics, MKF poses, points with
+    source patch info, measurements."""
+    pts = ms.points
+    mkfs = ms.mkfs
+    meas = ms.meas
+    with open(path, "w") as f:
+        C = ms.cam_from_base.t.shape[0]
+        f.write(f"% mcptam_tpu map dump\n% cameras {C}\n")
+        for c in range(C):
+            R = np.asarray(ms.cam_from_base.R[c]).reshape(-1)
+            t = np.asarray(ms.cam_from_base.t[c])
+            f.write("cam " + " ".join(f"{v:.9g}" for v in list(R) + list(t)) + "\n")
+        valid_m = np.asarray(mkfs.valid)
+        for m in np.nonzero(valid_m)[0]:
+            R = np.asarray(mkfs.base_from_world.R[m]).reshape(-1)
+            t = np.asarray(mkfs.base_from_world.t[m])
+            f.write(
+                f"mkf {m} seq {int(np.asarray(mkfs.seq)[m])} fixed "
+                f"{int(np.asarray(mkfs.fixed)[m])} "
+                + " ".join(f"{v:.9g}" for v in list(R) + list(t)) + "\n"
+            )
+        valid_p = np.asarray(pts.valid)
+        pos = np.asarray(pts.pos_w)
+        for n in np.nonzero(valid_p)[0]:
+            f.write(
+                f"point {n} {pos[n,0]:.9g} {pos[n,1]:.9g} {pos[n,2]:.9g} "
+                f"src {int(np.asarray(pts.src_mkf)[n])} "
+                f"{int(np.asarray(pts.src_cam)[n])} "
+                f"{int(np.asarray(pts.src_level)[n])}\n"
+            )
+        valid_s = np.asarray(meas.valid)
+        uv = np.asarray(meas.uv_l0)
+        for k in np.nonzero(valid_s)[0]:
+            f.write(
+                f"meas mkf {int(np.asarray(meas.mkf)[k])} cam "
+                f"{int(np.asarray(meas.cam)[k])} pt "
+                f"{int(np.asarray(meas.point)[k])} lvl "
+                f"{int(np.asarray(meas.level)[k])} uv {uv[k,0]:.4f} "
+                f"{uv[k,1]:.4f} src {int(np.asarray(meas.source)[k])}\n"
+            )

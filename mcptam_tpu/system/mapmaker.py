@@ -1,0 +1,180 @@
+"""Host-side map-maker scheduler: the MapMaker thread, re-thought.
+
+The reference MapMaker is a CVD::Thread running a priority loop at <=500Hz
+(src/MapMaker.cc:131-323): reset -> local BA (until converged, if the MKF
+queue is empty) -> refinds -> global BA -> failure-queue retry -> trash GC
+-> pop MKF queue; incoming MKFs preempt BA through an abort flag polled by
+g2o (src/ChainBundle.cc:1309).
+
+Here the same schedule runs as host Python around jitted device kernels:
+BA advances in fixed-size chunks of LM steps per call, so a queued MKF
+preempts optimization at the next chunk boundary — the abort-flag design
+without threads.  All map mutations are functional (MapState in/out); the
+tracker always reads the latest committed state, which replaces the
+reference's map mutex + point refcounts.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from mcptam_tpu.config import MapMakerConfig, BundleConfig, DEFAULT_MAPMAKER, DEFAULT_BUNDLE
+from mcptam_tpu.map.state import MapState, move_bad_points_to_trash
+from mcptam_tpu.map.mapmaker_core import init_from_mkf, integrate_mkf
+from mcptam_tpu.map.refind import refind_in_keyframes
+from mcptam_tpu.ba.adjusters import problem_all, problem_recent, writeback, apply_outliers
+from mcptam_tpu.ba.bundle import (
+    create_lm_state, lm_run, tukey_outlier_pass, point_depth_covariance,
+)
+from mcptam_tpu.system.timing import MapMakerTiming
+
+MM_INITIALIZING = 0
+MM_RUNNING = 1
+
+BA_CHUNK = 10  # LM steps per scheduler call (preemption granularity)
+
+
+@dataclass
+class MapMaker:
+    """Owns the map-building schedule; one `step()` per tracked frame."""
+
+    cams: object
+    mcfg: MapMakerConfig = field(default_factory=lambda: DEFAULT_MAPMAKER)
+    bcfg: BundleConfig = field(default_factory=lambda: DEFAULT_BUNDLE)
+
+    state: int = MM_INITIALIZING
+    queue: list = field(default_factory=list)   # pending (feats, pose, result)
+    failed_ba_count: int = 0
+    last_timing: MapMakerTiming = field(default_factory=MapMakerTiming)
+
+    # in-flight BA
+    _ba_kind: str = "none"       # none | local | global
+    _ba_prob: object = None
+    _ba_state: object = None
+    _ba_steps: int = 0
+    _local_done: bool = False    # local BA converged since last MKF
+    _global_done: bool = False
+    init_point_cov: float = float("inf")
+
+    def __post_init__(self):
+        self._lm_run = jax.jit(
+            lambda prob, st, n=BA_CHUNK: lm_run(prob, st, self.cams, n, self.bcfg)
+        )
+
+    # -- tracker-facing API (MapMakerClientBase analogue) ------------------
+    def init(self, ms: MapState, feats, pose):
+        """Blocking map init from the first MKF (ref MapMaker::Init)."""
+        ms, _ = init_from_mkf(ms, self.cams, feats, pose, self.mcfg)
+        self.state = MM_INITIALIZING
+        self._reset_ba()
+        return ms
+
+    def add_mkf(self, feats, pose, tracker_result):
+        """Queue an MKF; preempts BA at the next chunk (ref AddMultiKeyFrame
+        + abort flag, src/MapMaker.cc:329-363)."""
+        self.queue.append((feats, pose, tracker_result))
+
+    def queue_size(self):
+        return len(self.queue)
+
+    def reset(self, ms: MapState):
+        from mcptam_tpu.map.state import create_map_state  # noqa
+        self.queue.clear()
+        self.state = MM_INITIALIZING
+        self._reset_ba()
+        self.failed_ba_count = 0
+
+    # -- scheduler ----------------------------------------------------------
+    def _reset_ba(self):
+        self._ba_kind = "none"
+        self._ba_prob = None
+        self._ba_state = None
+        self._ba_steps = 0
+        self._local_done = False
+        self._global_done = False
+
+    def step(self, ms: MapState) -> MapState:
+        """One scheduler tick: the reference's priority loop body
+        (src/MapMaker.cc:131-323)."""
+        t0 = time.perf_counter()
+
+        # 1. integrate a queued MKF first (preempts BA)
+        if self.queue:
+            if self._ba_kind != "none" and self._ba_state is not None \
+                    and int(self._ba_state.accepted) > 0:
+                # apply whatever the aborted BA achieved (the reference's
+                # two-step AdjustAndUpdate applies partial progress too)
+                ms = writeback(ms, self._ba_prob, self._ba_state)
+            self._reset_ba()
+            feats, pose, result = self.queue.pop(0)
+            ms, _ = integrate_mkf(
+                ms, self.cams, feats, pose, result, self.mcfg
+            )
+            self.last_timing = MapMakerTiming(
+                elapsed=time.perf_counter() - t0, kind="creation",
+            )
+            return ms
+
+        # 2. advance bundle adjustment
+        if self._ba_kind == "none":
+            if not self._local_done:
+                self._ba_kind = "local"
+                self._ba_prob = problem_recent(ms, self.bcfg.recent_num)
+            elif not self._global_done:
+                self._ba_kind = "global"
+                self._ba_prob = problem_all(ms)
+            else:
+                # idle: trash GC + occasional refind sweep
+                ms = move_bad_points_to_trash(ms)
+                return ms
+            self._ba_state = create_lm_state(self._ba_prob, self.bcfg)
+            self._ba_steps = 0
+
+        self._ba_state = self._lm_run(self._ba_prob, self._ba_state)
+        self._ba_steps += BA_CHUNK
+        converged = bool(self._ba_state.converged)
+        exhausted = self._ba_steps >= self.bcfg.max_iterations
+
+        if converged or exhausted:
+            accepted = int(self._ba_state.accepted)
+            if accepted > 0:
+                ms = writeback(ms, self._ba_prob, self._ba_state)
+                outliers = tukey_outlier_pass(
+                    self._ba_prob, self._ba_state, self.cams
+                )
+                ms = apply_outliers(ms, outliers)
+                self.failed_ba_count = 0
+            else:
+                self.failed_ba_count += 1
+            self.last_timing = MapMakerTiming(
+                elapsed=time.perf_counter() - t0,
+                accepted_iterations=accepted,
+                total_iterations=int(self._ba_state.iterations),
+                kind=self._ba_kind,
+            )
+            if self._ba_kind == "local":
+                self._local_done = True
+            else:
+                self._global_done = True
+                # init gate (ref src/MapMaker.cc:288-295): median point
+                # depth covariance below threshold -> RUNNING
+                if self.state == MM_INITIALIZING:
+                    med, _ = point_depth_covariance(
+                        self._ba_prob, self._ba_state, self.cams
+                    )
+                    self.init_point_cov = float(med)
+                    if self.init_point_cov < self.mcfg.init_cov_thresh:
+                        self.state = MM_RUNNING
+            self._ba_kind = "none"
+            self._ba_prob = None
+            self._ba_state = None
+        return ms
+
+    def on_map_changed(self):
+        """New measurements/points invalidate BA convergence latches."""
+        self._local_done = False
+        self._global_done = False

@@ -1,0 +1,181 @@
+"""Standalone System: tracker + map maker in one process.
+
+The `mcptam` binary analogue (src/System.cc:169-303): owns the camera
+models, MapState, Tracker and MapMaker, and runs the per-frame loop
+grab -> track -> (maybe add MKF) -> map-maker tick -> publish.  The ROS
+surface (topics/services) becomes plain Python: `process_frame` returns a
+FrameInfo; timing matches the reference's TrackerTiming/SystemInfo
+messages (system/timing.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mcptam_tpu.config import (
+    TrackerConfig, MapMakerConfig, DEFAULT_TRACKER, DEFAULT_MAPMAKER,
+    MAX_POINTS, MAX_MKFS, MAX_MEAS,
+)
+from mcptam_tpu.core.se3 import SE3
+from mcptam_tpu.core.camera import CameraModel
+from mcptam_tpu.map.state import create_map_state, count_points, count_mkfs
+from mcptam_tpu.map.keyframe import make_frame_features
+from mcptam_tpu.map.mapmaker_core import need_new_mkf
+from mcptam_tpu.tracker.tracker import (
+    track_frame, create_tracker_state, apply_tracker_point_stats,
+    QUALITY_GOOD,
+)
+from mcptam_tpu.tracker.reloc import attempt_recovery
+from mcptam_tpu.system.mapmaker import MapMaker, MM_INITIALIZING, MM_RUNNING
+from mcptam_tpu.system.timing import TrackerTiming, SystemInfo, Stopwatch
+
+
+@dataclass
+class FrameInfo:
+    pose: np.ndarray          # (3,4) base_from_world
+    cov: np.ndarray           # (6,6)
+    quality: int
+    lost: bool
+    relocalized: bool
+    n_points: int
+    n_mkfs: int
+    n_found: int
+    mm_state: int
+    timing: TrackerTiming
+    added_mkf: bool
+
+
+class System:
+    """Standalone multi-camera SLAM pipeline."""
+
+    def __init__(self, cams: CameraModel, cam_from_base: SE3,
+                 cams_sbi: CameraModel, H: int, W: int,
+                 tcfg: TrackerConfig = DEFAULT_TRACKER,
+                 mcfg: MapMakerConfig = DEFAULT_MAPMAKER,
+                 max_points: int = MAX_POINTS, max_mkfs: int = MAX_MKFS,
+                 max_meas: int = MAX_MEAS):
+        self.cams = cams
+        self.cam_from_base = cam_from_base
+        self.cams_sbi = cams_sbi
+        self.H, self.W = H, W
+        self.n_cams = int(cam_from_base.t.shape[0])
+        self.tcfg = tcfg
+        self.mcfg = mcfg
+
+        self.ms = create_map_state(
+            H, W, self.n_cams, cam_from_base, max_points, max_mkfs, max_meas
+        )
+        self.ts = create_tracker_state(self.n_cams)
+        self.mapmaker = MapMaker(cams=cams, mcfg=mcfg)
+        self.initialized = False
+        self.frame_count = 0
+        self._t_last = None
+
+        # jit the per-frame kernels once
+        self._feats_fn = jax.jit(make_frame_features)
+        self._track_fn = jax.jit(
+            lambda ts, ms, feats: track_frame(
+                ts, ms, self.cams, self.cams_sbi, feats, self.tcfg
+            )
+        )
+        self._stats_fn = jax.jit(apply_tracker_point_stats)
+        self._reloc_fn = jax.jit(
+            lambda ms, feats: attempt_recovery(ms, self.cams_sbi, feats)
+        )
+
+    # ------------------------------------------------------------------
+    def reset(self, keep_pose: bool = False):
+        """Full system reset (ref Reset service, srv/Reset.srv)."""
+        pose = self.ts.pose if keep_pose else SE3.identity()
+        self.ms = create_map_state(
+            self.H, self.W, self.n_cams, self.cam_from_base,
+            self.ms.points.capacity, self.ms.mkfs.capacity,
+            self.ms.meas.capacity,
+        )
+        self.ts = create_tracker_state(self.n_cams)
+        self.ts = self.ts.replace(pose=pose)
+        self.mapmaker.reset(self.ms)
+        self.initialized = False
+
+    def process_frame(self, images) -> FrameInfo:
+        """images: (C,H,W) array-like uint8/float."""
+        sw = Stopwatch()
+        timing = TrackerTiming()
+        images = jnp.asarray(images, jnp.float32)
+        feats = self._feats_fn(images)
+        timing.kf_downsample = sw.lap()
+
+        relocalized = False
+        added = False
+
+        if not self.initialized:
+            # request-init semantics: first frame bootstraps the map
+            self.ms = self.mapmaker.init(self.ms, feats, self.ts.pose)
+            self.initialized = True
+            self.mapmaker.on_map_changed()
+
+        self.ts, res = self._track_fn(self.ts, self.ms, feats)
+        timing.fine = sw.lap()
+
+        if bool(res.lost):
+            pose, ok, score = self._reloc_fn(self.ms, feats)
+            if bool(ok):
+                self.ts = self.ts.replace(
+                    pose=pose, vel=jnp.zeros(6),
+                    lost_count=jnp.zeros((), jnp.int32),
+                )
+                relocalized = True
+        else:
+            self.ms = self._stats_fn(self.ms, res)
+
+        # MKF-add heuristics (ref src/Tracker.cc:468-488): good quality,
+        # map maker idle, far enough from the nearest keyframe
+        if (
+            int(res.quality) == QUALITY_GOOD
+            and not bool(res.lost)
+            and self.mapmaker.queue_size() == 0
+        ):
+            mean_depth = jnp.mean(res.mean_depth)
+            add, _ = need_new_mkf(self.ms, res.pose, mean_depth, self.mcfg)
+            if bool(add):
+                self.mapmaker.add_mkf(feats, res.pose, res)
+                added = True
+        timing.add = sw.lap()
+
+        # map-maker tick (the background thread's slice of this frame)
+        self.ms = self.mapmaker.step(self.ms)
+        if added:
+            self.mapmaker.on_map_changed()
+        timing.depth = sw.lap()
+        timing.total = (
+            timing.kf_downsample + timing.fine + timing.add + timing.depth
+        )
+        timing.map_num_points = int(count_points(self.ms))
+        timing.map_num_mkfs = int(count_mkfs(self.ms))
+
+        self.frame_count += 1
+        pose34 = np.concatenate(
+            [np.asarray(res.pose.R), np.asarray(res.pose.t)[:, None]], axis=1
+        )
+        return FrameInfo(
+            pose=pose34,
+            cov=np.asarray(res.cov),
+            quality=int(res.quality),
+            lost=bool(res.lost),
+            relocalized=relocalized,
+            n_points=timing.map_num_points,
+            n_mkfs=timing.map_num_mkfs,
+            n_found=int(res.tot_found),
+            mm_state=self.mapmaker.state,
+            timing=timing,
+            added_mkf=added,
+        )
+
+    @property
+    def pose(self) -> SE3:
+        return self.ts.pose

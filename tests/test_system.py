@@ -1,0 +1,99 @@
+"""System-level tests: the standalone tracker+mapmaker loop, relocalizer,
+map save/load."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mcptam_tpu.config import TrackerConfig, MapMakerConfig
+from mcptam_tpu.core.se3 import SE3
+from mcptam_tpu.io.synthetic import make_rig, make_sbi_cams, render_rig
+from mcptam_tpu.system.system import System
+from mcptam_tpu.system.mapio import save_map, load_map, dump_map_ascii
+from mcptam_tpu.tracker.reloc import attempt_recovery
+from mcptam_tpu.map.keyframe import make_frame_features
+
+H, W = 240, 320
+C = 2
+SEED = 3.0
+TCFG = TrackerConfig(max_patches_per_frame=200, coarse_max=20, coarse_min=6)
+MCFG = MapMakerConfig(init_depth=5.0, max_scaled_mkf_dist=0.04)
+
+
+def make_system():
+    cams, cam_from_base = make_rig(C, H, W, spread_deg=25.0)
+    cams_sbi = make_sbi_cams(cams, H, W)
+    return System(
+        cams, cam_from_base, cams_sbi, H, W, TCFG, MCFG,
+        max_points=2048, max_mkfs=8, max_meas=8192,
+    ), cams, cam_from_base
+
+
+@pytest.fixture(scope="module")
+def ran_system():
+    sys_, cams, cfb = make_system()
+    traj = [SE3.exp(jnp.asarray([0.05 * i, 0.0, 0.03 * i, 0.0, 0.02 * i, 0.0]))
+            for i in range(7)]
+    infos = []
+    for pose in traj:
+        images = render_rig(cams, cfb, pose, SEED, H, W)
+        infos.append(sys_.process_frame(images))
+    return sys_, cams, cfb, traj, infos
+
+
+def test_system_tracks_trajectory(ran_system):
+    sys_, cams, cfb, traj, infos = ran_system
+    # last frame pose error
+    est = infos[-1].pose
+    R_est, t_est = est[:, :3], est[:, 3]
+    true = traj[-1]
+    err_t = np.linalg.norm(t_est - np.asarray(true.t))
+    assert err_t < 0.06, err_t
+    assert not infos[-1].lost
+    assert infos[-1].n_points > 100
+    assert any(i.added_mkf for i in infos)
+    assert infos[-1].n_mkfs >= 2
+
+
+def test_system_timing_populated(ran_system):
+    sys_, cams, cfb, traj, infos = ran_system
+    t = infos[-1].timing
+    assert t.total > 0
+    assert t.kf_downsample > 0
+
+
+def test_map_save_load_roundtrip(ran_system, tmp_path):
+    sys_, *_ = ran_system
+    p = str(tmp_path / "map.npz")
+    save_map(p, sys_.ms)
+    ms2 = load_map(p, sys_.ms)
+    assert np.allclose(np.asarray(ms2.points.pos_w), np.asarray(sys_.ms.points.pos_w))
+    assert np.all(np.asarray(ms2.meas.valid) == np.asarray(sys_.ms.meas.valid))
+    dump_map_ascii(str(tmp_path / "map.dat"), sys_.ms)
+    text = (tmp_path / "map.dat").read_text()
+    assert "point" in text and "mkf" in text
+
+
+def test_relocalizer_recovers(ran_system):
+    """From a pose near a stored keyframe, the relocalizer must find a
+    nearby pose estimate."""
+    sys_, cams, cfb, traj, infos = ran_system
+    cams_sbi = sys_.cams_sbi
+    true_pose = traj[0]  # the first keyframe's pose (identity-ish)
+    images = render_rig(cams, cfb, true_pose, SEED, H, W)
+    feats = make_frame_features(jnp.asarray(images, jnp.float32))
+    pose, ok, score = attempt_recovery(sys_.ms, cams_sbi, feats)
+    assert bool(ok), float(score)
+    err = np.linalg.norm(np.asarray((pose @ true_pose.inv()).ln()))
+    assert err < 0.25, err  # coarse recovery; tracker refines from here
+
+
+def test_reset(ran_system):
+    sys_, cams, cfb, traj, infos = ran_system
+    sys_.reset()
+    assert not sys_.initialized
+    assert int(jnp.sum(sys_.ms.points.valid)) == 0
+    # re-init works
+    images = render_rig(cams, cfb, SE3.identity(), SEED, H, W)
+    info = sys_.process_frame(images)
+    assert info.n_points > 50
