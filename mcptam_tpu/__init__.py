@@ -10,3 +10,12 @@ g2o/CHOLMOD.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry chains (camera Jacobians, SE3 composes, normal equations) are
+# small matmuls whose accuracy matters at the sub-pixel level; TPU MXU
+# defaults to bfloat16 inputs which costs ~0.5 px in projection round
+# trips.  Force full f32 matmul precision — the hot image kernels are
+# VPU-elementwise and unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")

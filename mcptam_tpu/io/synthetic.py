@@ -132,6 +132,48 @@ def make_rig(n_cams: int, H: int = 480, W: int = 640, spread_deg: float = 30.0):
     return cams, cam_from_base
 
 
+def build_groundtruth_map(cams, cam_from_base, H, W, pose0=None,
+                          seed: float = 3.0, n_per_level: int = 40,
+                          max_points: int = 1024, max_mkfs: int = 8,
+                          max_meas: int = 8192):
+    """Build a MapState populated with ground-truth-depth points from one
+    rendered keyframe — the instant-map path for tests and benchmarks
+    (bypasses epipolar init; exact sphere depths)."""
+    import jax
+    from mcptam_tpu.config import LEVELS
+    from mcptam_tpu.core.levels import level_zero_pos
+    from mcptam_tpu.map.state import create_map_state, refresh_scene_depths
+    from mcptam_tpu.map.builder import commit_mkf, add_points
+    from mcptam_tpu.map.keyframe import make_frame_features
+
+    if pose0 is None:
+        pose0 = SE3.identity()
+    C = int(cam_from_base.t.shape[0])
+    images = render_rig(cams, cam_from_base, pose0, seed, H, W)
+    feats = make_frame_features(images)
+    ms = create_map_state(H, W, C, cam_from_base, max_points, max_mkfs, max_meas)
+    ms, mkf_idx, _ = commit_mkf(ms, feats, pose0, fixed=True)
+    for c in range(C):
+        cam_c = jax.tree_util.tree_map(lambda a: a[c], cams)
+        pose_c = cam_from_base[c] @ pose0
+        for l in range(LEVELS):
+            xy = feats.cand_xy[l][c][:n_per_level].astype(jnp.float32)
+            want = feats.cand_valid[l][c][:n_per_level]
+            xy0 = level_zero_pos(xy, float(l))
+            rays = unproject(cam_c, xy0)
+            depth = ray_depth(pose_c, rays)
+            pos_w = pose_c.inv().apply(rays * depth[:, None])
+            Q = xy.shape[0]
+            ms, _, _ = add_points(
+                ms, cams, mkf_idx=mkf_idx,
+                cam_idx=jnp.full((Q,), c, jnp.int32),
+                level=jnp.full((Q,), l, jnp.int32),
+                xy_level=xy, pos_w=pos_w, want=want,
+            )
+    ms = refresh_scene_depths(ms)
+    return ms, feats
+
+
 def make_sbi_cams(cams: CameraModel, H: int, W: int) -> CameraModel:
     """SBI-sized (40x30) variants of the rig cameras for ESM rotation."""
     from mcptam_tpu.config import SBI_SIZE

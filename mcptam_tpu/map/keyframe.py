@@ -123,7 +123,7 @@ def make_frame_features(
     # candidates: nonmax over masked scores, 10px border, top-k
     cand_xy, cand_score, cand_valid = [], [], []
     for l in range(LEVELS):
-        k = MAX_CANDIDATES_PER_LEVEL[l]
+        k = min(MAX_CANDIDATES_PER_LEVEL[l], (H >> l) * (W >> l))
         h, w = scores[l].shape[-2:]
         border = _border_mask(h, w, CANDIDATE_BORDER)
         masked = jnp.where(corner_maps[l] & border, scores[l], 0.0)

@@ -1,0 +1,103 @@
+"""Device-mesh sharding for rig-scale and map-scale parallelism.
+
+The reference's parallelism axes (SURVEY §2.11) map onto a JAX mesh:
+
+  * its per-camera independence (every tracker stage loops over cameras,
+    src/Tracker.cc:303-333) and per-measurement independence in BA (g2o's
+    OpenMP edge parallelism, src/ChainBundle.cc:451-456) both become a
+    single data-parallel device axis "d": measurements / (camera x point)
+    pairs are sharded, and the 6x6 (pose WLS) or reduced-camera-system
+    normal equations are all-reduced over ICI — XLA inserts the psums from
+    sharding annotations (the scaling-book recipe);
+  * the tracker/map-maker thread split stays on the host schedule — both
+    kernels share the mesh.
+
+Multi-chip hardware is validated with a virtual CPU mesh
+(xla_force_host_platform_device_count) + the driver's dryrun.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "d"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(devs, (AXIS,))
+
+
+def _spec(mesh: Mesh, *axes) -> NamedSharding:
+    return NamedSharding(mesh, P(*axes))
+
+
+def shard_bundle_problem(mesh: Mesh, prob):
+    """Sharding pytree for a BundleProblem: measurement arrays split over
+    the device axis, parameters replicated (they're small; the reduced
+    camera system is assembled with psums)."""
+    rep = _spec(mesh)
+    meas = _spec(mesh, AXIS)
+
+    def spec_for(path, leaf):
+        name = path[0].name if path else ""
+        if name.startswith("m_"):
+            return meas
+        return rep
+
+    return jax.tree_util.tree_map_with_path(spec_for, prob)
+
+
+def sharded_lm_run(mesh: Mesh, prob, cams, n_steps: int, bcfg=None):
+    """jit an LM run with measurements sharded over the mesh; XLA turns
+    the normal-equation scatter-sums into reduce-scatters/psums over ICI."""
+    from mcptam_tpu.ba.bundle import lm_run, create_lm_state
+    from mcptam_tpu.config import DEFAULT_BUNDLE
+
+    bcfg = bcfg or DEFAULT_BUNDLE
+    prob_sharding = shard_bundle_problem(mesh, prob)
+    prob = jax.device_put(prob, prob_sharding)
+    st = create_lm_state(prob, bcfg)
+
+    fn = jax.jit(
+        lambda p, s: lm_run(p, s, cams, n_steps, bcfg),
+        in_shardings=(prob_sharding, None),
+    )
+    return fn(prob, st), prob
+
+
+def shard_map_points(mesh: Mesh, ms):
+    """Sharding pytree for a MapState: the point axis (the biggest) is
+    split over devices; keyframe imagery and measurement lists are
+    replicated.  Used to scale map capacity across chips."""
+    rep = _spec(mesh)
+    pt = _spec(mesh, AXIS)
+
+    def spec_for(path, leaf):
+        names = [p.name for p in path if hasattr(p, "name")]
+        if names and names[0] == "points":
+            return pt
+        return rep
+
+    return jax.tree_util.tree_map_with_path(spec_for, ms)
+
+
+def sharded_track_frame(mesh: Mesh, ms, cams, cams_sbi, tcfg):
+    """jit track_frame with the map's point arrays sharded over devices:
+    the PVS projection and pair search parallelize over chips, and the
+    6-DOF pose normal equations all-reduce (the rig-scale analogue of
+    data-parallel gradient aggregation)."""
+    from mcptam_tpu.tracker.tracker import track_frame
+
+    ms_sharding = shard_map_points(mesh, ms)
+    ms = jax.device_put(ms, ms_sharding)
+
+    fn = jax.jit(
+        lambda ts, m, feats: track_frame(ts, m, cams, cams_sbi, feats, tcfg),
+        in_shardings=(None, ms_sharding, None),
+    )
+    return fn, ms
