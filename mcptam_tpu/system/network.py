@@ -1,0 +1,380 @@
+"""Distributed client/server mapping: tracking on-board, optimization
+off-board.
+
+The reference splits into mcptam_client / mcptam_server ROS nodes
+exchanging the ModifyMap service (SURVEY §2.7; src/MapMakerClient.cc,
+src/MapMakerServer.cc, src/NetworkManager.cc).  Here:
+
+  * transport = native C++ framed-TCP manager with retry-forever
+    semantics (native/netmanager.cc);
+  * payloads = zlib'd numpy array packs (system/netcodec.py) keeping the
+    ADD/UPDATE/DELETE/OUTLIERS/INIT/RESET/STATE action vocabulary;
+  * slot consistency replaces the reference's pointer<->string-id
+    Dictionary: both sides commit MKFs in message order into identical
+    fixed-capacity stores, and the server's point/measurement sections are
+    applied wholesale on the client (imagery never travels back).
+
+Client API mirrors MapMakerClientBase (init blocking, add async,
+src/MapMakerClientBase.h:129-143); the server loop mirrors
+MapMakerServer::run's priority order (network first, BA otherwise,
+src/MapMakerServer.cc:95-227).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mcptam_tpu.config import LEVELS
+from mcptam_tpu.core.se3 import SE3
+from mcptam_tpu.map.keyframe import FrameFeatures
+from mcptam_tpu.map.state import MapState
+from mcptam_tpu.map.builder import commit_mkf
+from mcptam_tpu.map.mapmaker_core import record_tracker_measurements
+from mcptam_tpu.native.build import load
+from mcptam_tpu.system.netcodec import (
+    pack_arrays, unpack_arrays,
+    ACTION_ADD, ACTION_DELETE, ACTION_UPDATE, ACTION_OUTLIERS,
+    ACTION_INIT, ACTION_RESET, ACTION_STATE,
+)
+
+_MAX_MSG = 512 * 1024 * 1024
+
+
+class Channel:
+    """Framed-message channel over the native net manager."""
+
+    def __init__(self, handle, lib):
+        self._h = handle
+        self._lib = lib
+
+    @classmethod
+    def serve(cls, port: int = 0) -> "Channel":
+        """Listen on `port` (0 = kernel-assigned ephemeral; read `.port`)."""
+        lib = load("netmanager")
+        h = lib.nm_create_server(port)
+        if not h:
+            raise OSError(f"cannot listen on port {port}")
+        ch = cls(h, lib)
+        ch.port = int(lib.nm_port(h))
+        return ch
+
+    @classmethod
+    def connect(cls, host: str, port: int) -> "Channel":
+        lib = load("netmanager")
+        return cls(lib.nm_create_client(host.encode(), port), lib)
+
+    def send(self, action: int, arrays: dict | None = None):
+        blob = pack_arrays(arrays or {})
+        buf = (ctypes.c_uint8 * len(blob)).from_buffer_copy(blob)
+        self._lib.nm_send(self._h, action, buf, len(blob))
+
+    def poll(self, timeout_ms: int = 0):
+        """(action, arrays) or None."""
+        size = self._lib.nm_peek_size(self._h)
+        cap = max(int(size), 1 << 20) if size > 0 else (1 << 20)
+        while True:
+            buf = (ctypes.c_uint8 * cap)()
+            action = ctypes.c_uint32()
+            n = self._lib.nm_poll(self._h, ctypes.byref(action), buf, cap, timeout_ms)
+            if n == -1:
+                return None
+            if n < -1:  # message bigger than cap: retry with exact size
+                cap = -int(n) - 2
+                continue
+            blob = bytes(bytearray(buf[: int(n)]))
+            return int(action.value), unpack_arrays(blob)
+
+    def close(self):
+        if self._h:
+            self._lib.nm_destroy(self._h)
+            self._h = None
+
+
+# ---------------------------------------------------------------------------
+# FrameFeatures / pose / tracker-result array conversion
+# ---------------------------------------------------------------------------
+
+def feats_to_arrays(feats: FrameFeatures, pose: SE3) -> dict:
+    d = {
+        "atlas": np.clip(np.asarray(feats.atlas), 0, 255).astype(np.uint8),
+        "corner_atlas": (np.asarray(feats.corner_atlas) > 0.5).astype(np.uint8),
+        "thresholds": np.asarray(feats.thresholds),
+        "corner_counts": np.asarray(feats.corner_counts),
+        "sbi": np.asarray(feats.sbi),
+        "sbi_gx": np.asarray(feats.sbi_gx),
+        "sbi_gy": np.asarray(feats.sbi_gy),
+        "pose_R": np.asarray(pose.R),
+        "pose_t": np.asarray(pose.t),
+    }
+    for l in range(LEVELS):
+        d[f"cand_xy_{l}"] = np.asarray(feats.cand_xy[l])
+        d[f"cand_score_{l}"] = np.asarray(feats.cand_score[l])
+        d[f"cand_valid_{l}"] = np.asarray(feats.cand_valid[l])
+    return d
+
+
+def arrays_to_feats(d: dict):
+    feats = FrameFeatures(
+        atlas=jnp.asarray(d["atlas"], jnp.float32),
+        corner_atlas=jnp.asarray(d["corner_atlas"], jnp.float32),
+        thresholds=jnp.asarray(d["thresholds"]),
+        corner_counts=jnp.asarray(d["corner_counts"]),
+        cand_xy=tuple(jnp.asarray(d[f"cand_xy_{l}"]) for l in range(LEVELS)),
+        cand_score=tuple(jnp.asarray(d[f"cand_score_{l}"]) for l in range(LEVELS)),
+        cand_valid=tuple(jnp.asarray(d[f"cand_valid_{l}"]) for l in range(LEVELS)),
+        sbi=jnp.asarray(d["sbi"]),
+        sbi_gx=jnp.asarray(d["sbi_gx"]),
+        sbi_gy=jnp.asarray(d["sbi_gy"]),
+    )
+    pose = SE3(R=jnp.asarray(d["pose_R"]), t=jnp.asarray(d["pose_t"]))
+    return feats, pose
+
+
+def result_to_arrays(res) -> dict:
+    return {
+        "sel_point": np.asarray(res.sel_point),
+        "sel_cam": np.asarray(res.sel_cam),
+        "sel_level": np.asarray(res.sel_level),
+        "sel_pos_l0": np.asarray(res.sel_pos_l0),
+        "sel_found": np.asarray(res.sel_found),
+        "sel_outlier": np.asarray(res.sel_outlier),
+        "sel_subpix": np.asarray(res.sel_subpix),
+    }
+
+
+class _ResultView:
+    def __init__(self, d):
+        self.sel_point = jnp.asarray(d["sel_point"])
+        self.sel_cam = jnp.asarray(d["sel_cam"])
+        self.sel_level = jnp.asarray(d["sel_level"])
+        self.sel_pos_l0 = jnp.asarray(d["sel_pos_l0"])
+        self.sel_found = jnp.asarray(d["sel_found"])
+        self.sel_outlier = jnp.asarray(d["sel_outlier"])
+        self.sel_subpix = jnp.asarray(d["sel_subpix"])
+
+
+# ---------------------------------------------------------------------------
+# Map-section snapshots (server -> client)
+# ---------------------------------------------------------------------------
+
+_POINT_FIELDS = [
+    "pos_w", "valid", "bad", "fixed", "optimized", "never_retry", "src_mkf",
+    "src_cam", "src_level", "center_xy", "center_nc", "right_nc", "down_nc",
+    "pixel_right_w", "pixel_down_w", "in_count", "out_count",
+]
+_MEAS_FIELDS = ["mkf", "cam", "point", "level", "uv_l0", "valid", "source", "subpix"]
+
+
+def map_update_arrays(ms: MapState) -> dict:
+    d = {}
+    for f in _POINT_FIELDS:
+        d[f"pt_{f}"] = np.asarray(getattr(ms.points, f))
+    for f in _MEAS_FIELDS:
+        d[f"ms_{f}"] = np.asarray(getattr(ms.meas, f))
+    d["mkf_R"] = np.asarray(ms.mkfs.base_from_world.R)
+    d["mkf_t"] = np.asarray(ms.mkfs.base_from_world.t)
+    d["mkf_valid"] = np.asarray(ms.mkfs.valid)
+    d["mkf_fixed"] = np.asarray(ms.mkfs.fixed)
+    d["mkf_seq"] = np.asarray(ms.mkfs.seq)
+    d["mkf_depth_mean"] = np.asarray(ms.mkfs.scene_depth_mean)
+    d["mkf_depth_sigma"] = np.asarray(ms.mkfs.scene_depth_sigma)
+    d["next_seq"] = np.asarray(ms.next_seq)
+    return d
+
+
+def apply_map_update(ms: MapState, d: dict) -> MapState:
+    pts = ms.points.replace(**{
+        f: jnp.asarray(d[f"pt_{f}"], getattr(ms.points, f).dtype)
+        for f in _POINT_FIELDS
+    })
+    meas = ms.meas.replace(**{
+        f: jnp.asarray(d[f"ms_{f}"], getattr(ms.meas, f).dtype)
+        for f in _MEAS_FIELDS
+    })
+    mkfs = ms.mkfs.replace(
+        base_from_world=SE3(
+            R=jnp.asarray(d["mkf_R"]), t=jnp.asarray(d["mkf_t"])
+        ),
+        valid=jnp.asarray(d["mkf_valid"]),
+        fixed=jnp.asarray(d["mkf_fixed"]),
+        seq=jnp.asarray(d["mkf_seq"], jnp.int32),
+        scene_depth_mean=jnp.asarray(d["mkf_depth_mean"]),
+        scene_depth_sigma=jnp.asarray(d["mkf_depth_sigma"]),
+    )
+    return ms.replace(
+        points=pts, meas=meas, mkfs=mkfs,
+        # codec returns 0-d scalars as shape-(1,); restore the scalar shape
+        next_seq=jnp.asarray(d["next_seq"], jnp.int32).reshape(()),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Client-side map maker
+# ---------------------------------------------------------------------------
+
+class MapMakerClient:
+    """Tracker-side shim: local MKF imagery commits + network forwarding
+    (ref src/MapMakerClient.cc)."""
+
+    def __init__(self, channel: Channel, cams):
+        self.channel = channel
+        self.cams = cams
+        self.state = 0  # MM_INITIALIZING
+        self.init_point_cov = float("inf")
+        self.queue = []
+
+    def init(self, ms: MapState, feats, pose) -> MapState:
+        """Blocking INIT (the reference's CallInit blocks until the server
+        built the first points, src/MapMakerClient.cc:181)."""
+        ms, mkf_idx, _ = commit_mkf(ms, feats, pose, fixed=True)
+        self.channel.send(ACTION_INIT, feats_to_arrays(feats, pose))
+        # wait for the first UPDATE
+        deadline = time.time() + 120.0
+        while time.time() < deadline:
+            msg = self.channel.poll(timeout_ms=200)
+            if msg is None:
+                continue
+            action, d = msg
+            if action == ACTION_UPDATE:
+                return apply_map_update(ms, d)
+            if action == ACTION_STATE:
+                self._apply_state(d)
+        raise TimeoutError("server did not answer INIT")
+
+    def add_mkf(self, feats, pose, tracker_result):
+        self.queue.append((feats, pose, tracker_result))
+
+    def queue_size(self):
+        return len(self.queue)
+
+    def reset(self, ms):
+        self.queue.clear()
+        self.state = 0
+        self.channel.send(ACTION_RESET)
+
+    def on_map_changed(self):
+        pass
+
+    def send_deletes(self, point_idx: np.ndarray):
+        """Tracker-outlier deletions (ref HandleBadPoints -> SendDelete)."""
+        self.channel.send(ACTION_DELETE, {"points": np.asarray(point_idx)})
+
+    def _apply_state(self, d):
+        self.state = int(d["state"])
+        self.init_point_cov = float(d["init_cov"])
+
+    def step(self, ms: MapState) -> MapState:
+        # 1. forward one queued MKF: commit imagery locally (same slot the
+        # server will use), record tracker measurements, ship it
+        if self.queue:
+            feats, pose, result = self.queue.pop(0)
+            ms, mkf_idx, ok = commit_mkf(ms, feats, pose)
+            if result is not None:
+                ms = record_tracker_measurements(ms, mkf_idx, result)
+            d = feats_to_arrays(feats, pose)
+            if result is not None:
+                d.update(result_to_arrays(result))
+            self.channel.send(ACTION_ADD, d)
+
+        # 2. drain server messages
+        while True:
+            msg = self.channel.poll(timeout_ms=0)
+            if msg is None:
+                break
+            action, d = msg
+            if action == ACTION_UPDATE:
+                ms = apply_map_update(ms, d)
+            elif action == ACTION_OUTLIERS:
+                bad = jnp.asarray(d["meas_outlier"])
+                ms = ms.replace(meas=ms.meas.replace(valid=ms.meas.valid & ~bad))
+            elif action == ACTION_STATE:
+                self._apply_state(d)
+        return ms
+
+
+# ---------------------------------------------------------------------------
+# Server
+# ---------------------------------------------------------------------------
+
+class MapServer:
+    """Off-board optimizer process (ref src/MapMakerServer.cc)."""
+
+    def __init__(self, channel: Channel, cams, ms_template: MapState,
+                 mcfg=None):
+        from mcptam_tpu.system.mapmaker import MapMaker
+        from mcptam_tpu.config import DEFAULT_MAPMAKER
+
+        self.channel = channel
+        self.cams = cams
+        self.ms = ms_template
+        self.mapmaker = MapMaker(cams=cams, mcfg=mcfg or DEFAULT_MAPMAKER)
+        self._dirty = False
+
+    def _send_state(self):
+        self.channel.send(ACTION_STATE, {
+            "state": np.asarray(self.mapmaker.state, np.int32),
+            "init_cov": np.asarray(self.mapmaker.init_point_cov, np.float64),
+        })
+
+    def handle_message(self, action: int, d: dict):
+        from mcptam_tpu.map.state import create_map_state
+        if action == ACTION_INIT:
+            feats, pose = arrays_to_feats(d)
+            self.ms = self.mapmaker.init(self.ms, feats, pose)
+            self.channel.send(ACTION_UPDATE, map_update_arrays(self.ms))
+            self._send_state()
+        elif action == ACTION_ADD:
+            feats, pose = arrays_to_feats(d)
+            result = _ResultView(d) if "sel_point" in d else None
+            self.mapmaker.add_mkf(feats, pose, result)
+            self.mapmaker.on_map_changed()
+        elif action == ACTION_DELETE:
+            bad_idx = jnp.asarray(d["points"])
+            pts = self.ms.points
+            self.ms = self.ms.replace(
+                points=pts.replace(bad=pts.bad.at[bad_idx].set(True))
+            )
+            self._dirty = True
+        elif action == ACTION_RESET:
+            self.ms = self._fresh_map()
+            self.mapmaker.reset(self.ms)
+            self._send_state()
+
+    def _fresh_map(self):
+        from mcptam_tpu.map.state import create_map_state
+        from mcptam_tpu.ops.atlas import _level0_width_from_atlas
+        H = self.ms.mkfs.atlas.shape[2]
+        W = _level0_width_from_atlas(self.ms.mkfs.atlas.shape[3])
+        C = self.ms.cam_from_base.t.shape[0]
+        return create_map_state(
+            H, W, C, self.ms.cam_from_base,
+            self.ms.points.capacity, self.ms.mkfs.capacity,
+            self.ms.meas.capacity,
+        )
+
+    def spin_once(self, timeout_ms: int = 10) -> bool:
+        """One server-loop iteration; returns False if idle."""
+        msg = self.channel.poll(timeout_ms=timeout_ms)
+        if msg is not None:
+            self.handle_message(*msg)
+            return True
+        # no message: advance BA etc.
+        before = self.mapmaker._ba_kind
+        n_q = self.mapmaker.queue_size()
+        self.ms = self.mapmaker.step(self.ms)
+        did_work = n_q > 0 or before != "none"
+        finished_ba = before != "none" and self.mapmaker._ba_kind == "none"
+        if n_q > 0 or finished_ba or self._dirty:
+            self.channel.send(ACTION_UPDATE, map_update_arrays(self.ms))
+            self._send_state()
+            self._dirty = False
+        return did_work
+
+    def run(self, stop_event=None):
+        while stop_event is None or not stop_event.is_set():
+            self.spin_once(timeout_ms=20)
