@@ -1,0 +1,89 @@
+"""Shared plumbing for the app entry points."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def ensure_jax_platform(platform: str = "auto"):
+    """Pick the JAX backend before first use.  `auto` keeps the ambient
+    default (TPU when present) but falls back to CPU if the pinned
+    platform fails to initialize; `cpu` forces CPU (e.g. an off-board map
+    server on a CPU host while the tracker owns the TPU)."""
+    import jax
+    if platform and platform != "auto":
+        jax.config.update("jax_platforms", platform)
+        return
+    try:
+        jax.devices()
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
+
+
+def add_platform_arg(p: argparse.ArgumentParser):
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu", "axon"],
+                   help="JAX backend (default: ambient)")
+
+
+def add_rig_video_args(p: argparse.ArgumentParser, video_required=True):
+    p.add_argument("--rig", required=True, help="rig JSON (io/rig_config.py)")
+    p.add_argument("--video", required=video_required,
+                   help="(C,T,H,W) uint8 .npy/.npz frame sequence")
+    p.add_argument("--frames", type=int, default=0,
+                   help="max frames to process (0 = all)")
+    p.add_argument("--fps", type=float, default=30.0, help="replay rate")
+
+
+def build_system_inputs(args):
+    from mcptam_tpu.io.rig_config import load_rig, load_video
+    from mcptam_tpu.io.synthetic import make_sbi_cams
+
+    cams, cam_from_base, H, W, masks, names = load_rig(args.rig)
+    cams_sbi = make_sbi_cams(cams, H, W)
+    frames = load_video(args.video) if args.video else None
+    if frames is not None:
+        assert frames.shape[2:] == (H, W), \
+            f"video {frames.shape} does not match rig {H}x{W}"
+        if args.frames:
+            frames = frames[:, : args.frames]
+    return cams, cam_from_base, cams_sbi, H, W, masks, names, frames
+
+
+def run_tracking_loop(system, frames, fps, out_map=None, print_every=1):
+    """Shared main loop of mcptam / mcptam_client: replay through the
+    native synced queue, track every frame set, report state."""
+    import jax.numpy as jnp
+    from mcptam_tpu.io.video_source import ReplaySource
+
+    src = ReplaySource(frames, fps=fps)
+    src.start()
+    T = frames.shape[1]
+    info = None
+    for i in range(T):
+        out = src.queue.get(timeout_ms=10000)
+        if out is None:
+            print(f"[mcptam] frame {i}: queue timeout", file=sys.stderr)
+            break
+        imgs, ts = out
+        info = system.process_frame(jnp.asarray(imgs, jnp.float32))
+        if i % print_every == 0:
+            t = info.pose[:, 3]
+            print(
+                f"frame {i:4d}  quality={info.quality} lost={int(info.lost)} "
+                f"found={info.n_found:4d} points={info.n_points:5d} "
+                f"mkfs={info.n_mkfs:2d} t=[{t[0]:+.3f} {t[1]:+.3f} {t[2]:+.3f}] "
+                f"track={info.timing.total * 1e3:6.1f}ms",
+                flush=True,
+            )
+    src.queue.close()
+    if out_map:
+        from mcptam_tpu.system.mapio import save_map
+        save_map(out_map, system.ms)
+        print(f"[mcptam] map saved to {out_map}")
+    return info

@@ -1,0 +1,49 @@
+"""Standalone tracker + map maker (the `mcptam` binary, src/Main.cc:53).
+
+    python -m mcptam_tpu.apps.mcptam --rig rig.json --video seq.npz \
+        [--out-map map.npz] [--frames N] [--fps 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from mcptam_tpu.apps._common import (
+    ensure_jax_platform, add_platform_arg, add_rig_video_args, build_system_inputs,
+    run_tracking_loop,
+)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_platform_arg(p)
+    add_rig_video_args(p)
+    p.add_argument("--out-map", default="", help="save final map (.npz)")
+    p.add_argument("--load-map", default="", help="start from a saved map")
+    p.add_argument("--align-plane", action="store_true",
+                   help="align world to the dominant plane at the end")
+    args = p.parse_args(argv)
+    ensure_jax_platform(args.platform)
+
+    from mcptam_tpu.system.system import System
+
+    cams, cam_from_base, cams_sbi, H, W, masks, names, frames = \
+        build_system_inputs(args)
+    system = System(cams, cam_from_base, cams_sbi, H, W, masks=masks)
+    if args.load_map:
+        from mcptam_tpu.system.mapio import load_map
+        system.ms = load_map(args.load_map, system.ms)
+        system.initialized = True
+    run_tracking_loop(system, frames, args.fps,
+                      out_map=args.out_map or None)
+    if args.align_plane:
+        ok = system.align_to_dominant_plane()
+        print(f"[mcptam] plane alignment {'done' if ok else 'failed'}")
+        if args.out_map:
+            from mcptam_tpu.system.mapio import save_map
+            save_map(args.out_map, system.ms)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -205,3 +205,72 @@ def detect_checkerboard(img_np: np.ndarray, max_corners: int = 256):
         return None, xy_np, good_np
     grid = {rc: xy_np[i] for rc, i in grid_idx.items()}
     return grid, xy_np, good_np
+
+
+# ---------------------------------------------------------------------------
+# Canonical grid labeling (pattern enforcement + consistent ordering)
+# ---------------------------------------------------------------------------
+# The reference optionally enforces the expected pattern size and a
+# consistent corner ordering so multiple cameras agree on board-corner
+# identity (CalibImageTaylor pattern-size/ordering options, used by the
+# pose calibrator).  Here: dihedral relabelings that match the expected
+# (n_rows, n_cols) span, filtered by the light-square-at-origin rule.
+
+def dihedral_labelings(grid: dict, n_rows: int, n_cols: int):
+    """All relabelings of a detected (r,c)->uv grid that exactly span the
+    expected pattern.  Returns a list of dicts (r,c)->uv."""
+    import itertools
+    rc = np.array(list(grid.keys()))
+    uv = np.array(list(grid.values()), np.float64)
+    out = []
+    for swap in (False, True):
+        a = rc[:, ::-1] if swap else rc
+        r = a[:, 0] - a[:, 0].min()
+        c = a[:, 1] - a[:, 1].min()
+        if r.max() != n_rows - 1 or c.max() != n_cols - 1:
+            continue
+        for flip_r, flip_c in itertools.product((False, True), repeat=2):
+            rr = (r.max() - r) if flip_r else r
+            cc = (c.max() - c) if flip_c else c
+            out.append({(int(ri), int(ci)): uv[i]
+                        for i, (ri, ci) in enumerate(zip(rr, cc))})
+    return out
+
+
+def _square_center_intensity(img: np.ndarray, lab: dict, r: int, c: int):
+    """Mean intensity at the center of the board square whose corners are
+    inner corners (r,c),(r,c+1),(r+1,c),(r+1,c+1); None if corners absent."""
+    need = [(r, c), (r, c + 1), (r + 1, c), (r + 1, c + 1)]
+    if any(k not in lab for k in need):
+        return None
+    ctr = np.mean([lab[k] for k in need], axis=0)
+    x, y = int(round(ctr[0])), int(round(ctr[1]))
+    H, W = img.shape
+    if not (1 <= x < W - 1 and 1 <= y < H - 1):
+        return None
+    return float(img[y - 1:y + 2, x - 1:x + 2].mean())
+
+
+def canonical_labelings(img_np: np.ndarray, grid: dict,
+                        n_rows: int, n_cols: int):
+    """Labelings consistent with the convention that the square between
+    inner corners (0,0) and (1,1) is *lighter* than its (0,1)-(1,2)
+    neighbor.  Uniquely canonical when n_rows+n_cols is odd; for symmetric
+    patterns the 180-degree twin survives too (callers disambiguate by
+    cross-view consensus).  Returns list of dict (r,c)->uv (may be empty)."""
+    img = np.asarray(img_np, np.float64)
+    out = []
+    for lab in dihedral_labelings(grid, n_rows, n_cols):
+        i0 = _square_center_intensity(img, lab, 0, 0)
+        i1 = _square_center_intensity(img, lab, 0, 1)
+        if i0 is None or i1 is None:
+            continue
+        if i0 > i1:
+            out.append(lab)
+    # drop duplicates (mirror pairs can coincide on degenerate grids)
+    uniq = []
+    for lab in out:
+        if not any(set(lab) == set(u) and
+                   all(np.allclose(lab[k], u[k]) for k in lab) for u in uniq):
+            uniq.append(lab)
+    return uniq

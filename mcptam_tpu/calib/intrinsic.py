@@ -146,24 +146,34 @@ def _solve_linear(grids_uv, grids_board, center):
              for R, t12 in cands]
         )
 
-    # pick candidate per view greedily: solve the system for each option of
-    # the first view crossing best-of-others (views decouple through their
-    # own rows except the shared a coeffs — evaluate both per view with a
-    # provisional solve using candidate 0 elsewhere)
+    # candidate selection: each view has two R/t candidates (the r31 sign
+    # ambiguity).  Seed with the physically plausible one — a visible board
+    # faces the camera, so its +z normal maps near (0,0,-1) in cam frame,
+    # i.e. R[2,2] < 0 — then greedy coordinate-descent sweeps on the joint
+    # residual until stable (the one-pass greedy was order-dependent and
+    # could lock in a bad combination).
+    for v in views:
+        v.sort(key=lambda d: d["R"][2, 2])
     chosen = [v[0] for v in views]
-    for i, opts in enumerate(views):
-        best = None
-        for opt in opts:
-            trial = list(chosen)
-            trial[i] = opt
-            A, b = _intrinsic_system(trial, None, None)
-            x, res, *_ = np.linalg.lstsq(A, b, rcond=None)
-            t3 = x[4 + i]
-            r = np.linalg.norm(A @ x - b)
-            score = r + (1e6 if t3 <= 0 else 0.0)
-            if best is None or score < best[0]:
-                best = (score, opt)
-        chosen[i] = best[1]
+    for _ in range(4):
+        changed = False
+        for i, opts in enumerate(views):
+            best = None
+            for opt in opts:
+                trial = list(chosen)
+                trial[i] = opt
+                A, b = _intrinsic_system(trial, None, None)
+                x, res, *_ = np.linalg.lstsq(A, b, rcond=None)
+                t3 = x[4 + i]
+                r = np.linalg.norm(A @ x - b)
+                score = r + (1e6 if t3 <= 0 else 0.0)
+                if best is None or score < best[0]:
+                    best = (score, opt)
+            if best[1] is not chosen[i]:
+                chosen[i] = best[1]
+                changed = True
+        if not changed:
+            break
 
     A, b = _intrinsic_system(chosen, None, None)
     x, *_ = np.linalg.lstsq(A, b, rcond=None)

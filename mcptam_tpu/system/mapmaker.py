@@ -58,6 +58,7 @@ class MapMaker:
     _ba_steps: int = 0
     _local_done: bool = False    # local BA converged since last MKF
     _global_done: bool = False
+    _idle_ticks: int = 0
     init_point_cov: float = float("inf")
 
     def __post_init__(self):
@@ -128,8 +129,18 @@ class MapMaker:
                 self._ba_kind = "global"
                 self._ba_prob = problem_all(ms)
             else:
-                # idle: trash GC + occasional refind sweep
+                # idle: trash GC + periodic refind sweep over all KFs
+                # (ReFindNewlyMade / ReFindFromFailureQueue analogue — the
+                # reference retries the failure queue 1-in-20 loops,
+                # src/MapMaker.cc:270-276)
                 ms = move_bad_points_to_trash(ms)
+                self._idle_ticks += 1
+                if self._idle_ticks % 20 == 0:
+                    ms, n_refound = refind_in_keyframes(ms, self.cams)
+                    if int(n_refound) > 0:
+                        # new measurements -> re-run BA
+                        self._local_done = False
+                        self._global_done = False
                 return ms
             self._ba_state = create_lm_state(self._ba_prob, self.bcfg)
             self._ba_steps = 0
@@ -178,3 +189,9 @@ class MapMaker:
         """New measurements/points invalidate BA convergence latches."""
         self._local_done = False
         self._global_done = False
+
+    @property
+    def reset_requested(self) -> bool:
+        """N consecutive failed BAs request a system reset
+        (src/MapMaker.cc:216-224, RequestResetInternal)."""
+        return self.failed_ba_count >= 5

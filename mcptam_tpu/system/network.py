@@ -255,10 +255,21 @@ class MapMakerClient:
     def reset(self, ms):
         self.queue.clear()
         self.state = 0
-        self.channel.send(ACTION_RESET)
+        if self._server_reset:
+            self._server_reset = False  # server-initiated: don't bounce back
+        else:
+            self.channel.send(ACTION_RESET)
 
     def on_map_changed(self):
         pass
+
+    @property
+    def reset_requested(self) -> bool:
+        # resets are driven from the server side in client/server mode
+        # (ref RequestResetInternal -> client reset service)
+        return self._server_reset
+
+    _server_reset = False
 
     def send_deletes(self, point_idx: np.ndarray):
         """Tracker-outlier deletions (ref HandleBadPoints -> SendDelete)."""
@@ -294,6 +305,10 @@ class MapMakerClient:
                 ms = ms.replace(meas=ms.meas.replace(valid=ms.meas.valid & ~bad))
             elif action == ACTION_STATE:
                 self._apply_state(d)
+            elif action == ACTION_RESET:
+                # server-side BA failure chain (MapMakerServerBase::
+                # RequestResetInternal -> client reset service)
+                self._server_reset = True
         return ms
 
 
@@ -373,6 +388,11 @@ class MapServer:
             self.channel.send(ACTION_UPDATE, map_update_arrays(self.ms))
             self._send_state()
             self._dirty = False
+        if self.mapmaker.reset_requested:
+            self.channel.send(ACTION_RESET)
+            self.ms = self._fresh_map()
+            self.mapmaker.reset(self.ms)
+            self._send_state()
         return did_work
 
     def run(self, stop_event=None):

@@ -58,7 +58,7 @@ class System:
                  tcfg: TrackerConfig = DEFAULT_TRACKER,
                  mcfg: MapMakerConfig = DEFAULT_MAPMAKER,
                  max_points: int = MAX_POINTS, max_mkfs: int = MAX_MKFS,
-                 max_meas: int = MAX_MEAS):
+                 max_meas: int = MAX_MEAS, mapmaker=None, masks=None):
         self.cams = cams
         self.cam_from_base = cam_from_base
         self.cams_sbi = cams_sbi
@@ -71,13 +71,18 @@ class System:
             H, W, self.n_cams, cam_from_base, max_points, max_mkfs, max_meas
         )
         self.ts = create_tracker_state(self.n_cams)
-        self.mapmaker = MapMaker(cams=cams, mcfg=mcfg)
+        self.mapmaker = mapmaker or MapMaker(cams=cams, mcfg=mcfg)
         self.initialized = False
         self.frame_count = 0
         self._t_last = None
 
-        # jit the per-frame kernels once
-        self._feats_fn = jax.jit(make_frame_features)
+        # jit the per-frame kernels once; static feature-exclusion masks
+        # (ref SystemBase mask loading, src/SystemBase.cc:218-248) are
+        # baked into the features kernel
+        static_masks = None if masks is None else jnp.asarray(masks, bool)
+        self._feats_fn = jax.jit(
+            lambda images: make_frame_features(images, static_masks=static_masks)
+        )
         self._track_fn = jax.jit(
             lambda ts, ms, feats: track_frame(
                 ts, ms, self.cams, self.cams_sbi, feats, self.tcfg
@@ -151,6 +156,10 @@ class System:
         self.ms = self.mapmaker.step(self.ms)
         if added:
             self.mapmaker.on_map_changed()
+        # repeated BA failure -> full reset with pose carry-over
+        # (ref RequestResetInternal -> reset service, srv/Reset.srv)
+        if self.mapmaker.reset_requested:
+            self.reset(keep_pose=True)
         timing.depth = sw.lap()
         timing.total = (
             timing.kf_downsample + timing.fine + timing.add + timing.depth
@@ -179,3 +188,36 @@ class System:
     @property
     def pose(self) -> SE3:
         return self.ts.pose
+
+    # -- GUI-command analogues (ref src/System.cc:305-405) -----------------
+    def rescale_map(self, scale: float):
+        """Uniform global map rescale (the 'Rescale' menu command)."""
+        from mcptam_tpu.map.align import apply_global_scale
+        self.ms = apply_global_scale(self.ms, scale)
+        self.ts = self.ts.replace(
+            pose=SE3(R=self.ts.pose.R, t=self.ts.pose.t * scale)
+        )
+        self.mapmaker.on_map_changed()
+
+    def align_to_dominant_plane(self, seed: int = 0):
+        """RANSAC dominant plane -> re-express the world with the plane at
+        z=0 (CalcPlaneAligner + ApplyGlobalTransformationToMap)."""
+        from mcptam_tpu.map.align import (
+            plane_align_transform, apply_global_transform,
+        )
+        key = jax.random.PRNGKey(seed)
+        T, ok = plane_align_transform(
+            self.ms.points.pos_w, self.ms.points.valid & ~self.ms.points.bad,
+            key,
+        )
+        if bool(ok):
+            self.ms = apply_global_transform(self.ms, T)
+            # tracker pose lives in world coords: cam_from_world' =
+            # cam_from_world @ T^-1
+            Tinv = T.inv()
+            p = self.ts.pose
+            self.ts = self.ts.replace(pose=SE3(
+                R=p.R @ Tinv.R, t=p.R @ Tinv.t + p.t
+            ))
+            self.mapmaker.on_map_changed()
+        return bool(ok)

@@ -30,3 +30,7 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration test")
