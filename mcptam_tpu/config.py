@@ -72,6 +72,7 @@ class TrackerConfig:
     coarse_max: int = 60
     coarse_range: int = 30         # search radius (px) in coarse stage
     coarse_sub_pix_its: int = 8
+    fine_sub_pix_its: int = 10
     fine_range_first: int = 10     # fine search radius for L0 when no coarse
     fine_range: int = 5            # fine search radius otherwise
     coarse_iterations: int = 10
@@ -82,6 +83,7 @@ class TrackerConfig:
     collect_all_points: bool = True
     tracking_prior: float = 100.0  # WLS prior (reference src/Tracker.cc:1391)
     mest_sigma_min: float = 0.4    # min sigma-squared floor
+    use_sbi_rotation: bool = True  # SBI-ESM rotation in the motion model
 
 
 @dataclasses.dataclass(frozen=True)

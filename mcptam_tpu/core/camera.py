@@ -156,7 +156,20 @@ def make_camera(
     affine = np.array([[scale[0] * c, scale[1] * d], [scale[0] * e, scale[1] * 1.0]])
     affine_inv = np.linalg.inv(affine)
 
-    cam = CameraModel(
+    # one-pixel angle (src/TaylorCamera.cc:192-197) — pure host numpy: the
+    # build path must stay free of device->host transfers (a single D2H
+    # permanently downgrades the remote-TPU dispatch path to its slow mode)
+    def _unproject_np(uv):
+        uvd = affine_inv @ (np.asarray(uv, np.float64) - center)
+        z = np.polyval(poly[::-1], np.linalg.norm(uvd))
+        v = np.array([uvd[0], uvd[1], z])
+        return v / np.linalg.norm(v)
+
+    v_c = _unproject_np(image_size / 2.0)
+    v_d = _unproject_np(image_size / 2.0 + 1.0)
+    opa = float(np.arccos(np.clip(np.dot(v_c, v_d), -1.0, 1.0)) / np.sqrt(2.0))
+
+    return CameraModel(
         poly=jnp.asarray(poly, dtype),
         poly_deriv_mod=jnp.asarray(poly_deriv_mod, dtype),
         inv_poly=jnp.asarray(inv_padded, dtype),
@@ -168,13 +181,8 @@ def make_camera(
         image_size=jnp.asarray(image_size, dtype),
         min_theta=jnp.asarray(min_theta, dtype),
         max_rho=jnp.asarray(max_rho, dtype),
-        one_pixel_angle=jnp.asarray(0.0, dtype),
+        one_pixel_angle=jnp.asarray(opa, dtype),
     )
-    # one-pixel angle (src/TaylorCamera.cc:192-197)
-    v_c = np.asarray(unproject(cam, jnp.asarray(image_size / 2.0, dtype)))
-    v_d = np.asarray(unproject(cam, jnp.asarray(image_size / 2.0 + 1.0, dtype)))
-    opa = float(np.arccos(np.clip(np.dot(v_c, v_d), -1.0, 1.0)) / np.sqrt(2.0))
-    return cam.replace(one_pixel_angle=jnp.asarray(opa, dtype))
 
 
 def stack_cameras(cams) -> CameraModel:

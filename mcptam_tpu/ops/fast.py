@@ -165,13 +165,55 @@ def shi_tomasi_image(img: jnp.ndarray, radius: int = 3) -> jnp.ndarray:
     return 0.5 * (tr - det_part) / (2.0 * n)
 
 
+def topk_corners_blocked(score: jnp.ndarray, k: int,
+                         min_score: jnp.ndarray | float = 0.0,
+                         block: int = 8):
+    """Top-k corner extraction with block-local reduction: the image is
+    tiled into `block`x`block` cells, each cell contributes at most its max
+    pixel, and top_k runs over cells only.
+
+    A full-image jax.lax.top_k over H*W elements is a sort — one of the
+    slowest ops on TPU.  The cell reduction is a pure VPU reshape+max and
+    shrinks the sort by block^2 while *improving* spatial spread (the
+    reference thins candidates near each other anyway,
+    src/MapMakerServerBase.cc:411-447).
+
+    Returns (xy (k,2) int32, scores (k,), valid (k,)).
+    """
+    H, W = score.shape[-2], score.shape[-1]
+    Hb, Wb = H // block, W // block
+    s = score[..., : Hb * block, : Wb * block]
+    cells = s.reshape(Hb, block, Wb, block).transpose(0, 2, 1, 3).reshape(
+        Hb, Wb, block * block
+    )
+    cell_max = jnp.max(cells, axis=-1)                    # (Hb,Wb)
+    cell_arg = jnp.argmax(cells, axis=-1).astype(jnp.int32)
+    k_eff = min(k, Hb * Wb)
+    vals, idx = jax.lax.top_k(cell_max.reshape(-1), k_eff)
+    by = idx // Wb
+    bx = idx % Wb
+    sub = cell_arg.reshape(-1)[idx]
+    ys = by * block + sub // block
+    xs = bx * block + sub % block
+    xy = jnp.stack([xs, ys], axis=-1).astype(jnp.int32)
+    valid = vals > jnp.asarray(min_score, score.dtype)
+    if k_eff < k:  # pad to the static capacity
+        pad = k - k_eff
+        xy = jnp.concatenate([xy, jnp.zeros((pad, 2), jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return xy, vals, valid
+
+
 def topk_corners(score: jnp.ndarray, k: int, min_score: jnp.ndarray | float = 0.0):
     """Extract the top-k scoring pixels of an (H,W) score image as a
     fixed-capacity corner list.
 
     Returns (xy (k,2) int32, scores (k,), valid (k,)) — the masked-array
     replacement for the reference's per-level std::vector<ImageRef> +
-    row LUT (src/KeyFrame.cc:348-355).
+    row LUT (src/KeyFrame.cc:348-355).  Exact top-k: approximate variants
+    (approx_max_k, block-local maxima) measurably degrade epipolar map
+    quality — they drop locally-clustered strong corners.
     """
     H, W = score.shape[-2], score.shape[-1]
     flat = score.reshape(-1)

@@ -247,6 +247,15 @@ def zmssd(template, patches):
     return ssd - (sum_p - sum_t) ** 2 / n
 
 
+PACK_CORNER = 1024.0  # corner flag packed above the 8-bit pixel range
+
+
+def pack_corner_atlas(atlas, corner_atlas):
+    """img + 1024*corner: one fused plane so the search needs a single
+    window gather (gathers dominate the search cost on TPU)."""
+    return atlas + PACK_CORNER * corner_atlas
+
+
 def find_patch_w(window_fn, corner_window_fn, search_level, template,
                  pred_pos_l0, range_l0: int, max_range_l0=None,
                  exhaustive: bool = False, max_ssd: float = MAX_SSD):
@@ -255,6 +264,8 @@ def find_patch_w(window_fn, corner_window_fn, search_level, template,
 
     range_l0: static int — the level-0 search radius that sizes the window;
     max_range_l0: optional traced radius (<= range_l0) actually enforced.
+    corner_window_fn=None means window_fn reads a pack_corner_atlas plane
+    (pixel + corner flag in one gather).
 
     Returns (found bool, pos_l0 (2,) f32, best_ssd f32).
     """
@@ -272,7 +283,12 @@ def find_patch_w(window_fn, corner_window_fn, search_level, template,
     x0 = cxi - R - HALF
     G = S + PATCH_SIZE  # gathered region edge
     region, region_ok = window_fn(search_level, y0, x0, (G, G))
-    corner_w, _ = corner_window_fn(search_level, y0 + HALF, x0 + HALF, (S, S))
+    if corner_window_fn is None:
+        flag = region >= PACK_CORNER / 2
+        region = region - PACK_CORNER * flag.astype(region.dtype)
+        corner_w = flag[HALF : HALF + S, HALF : HALF + S].astype(region.dtype)
+    else:
+        corner_w, _ = corner_window_fn(search_level, y0 + HALF, x0 + HALF, (S, S))
 
     hs, ws = window_fn.level_hw
     h_l, w_l = hs[search_level], ws[search_level]
@@ -293,16 +309,28 @@ def find_patch_w(window_fn, corner_window_fn, search_level, template,
     valid = dist_ok & in_bounds & (is_corner | exhaustive)
     valid = valid & jnp.broadcast_to(region_ok, valid.shape)
 
-    # extract all S*S candidate patches: patches[i,j] = region[i:i+8, j:j+8]
-    cols = []
-    for py in range(PATCH_SIZE):
-        row = []
-        for px in range(PATCH_SIZE):
-            row.append(region[py : py + S, px : px + S])
-        cols.append(jnp.stack(row, axis=-1))
-    patches = jnp.stack(cols, axis=-2)  # (S, S, 8, 8)
+    # ZMSSD at every offset WITHOUT materializing an (S,S,8,8) patch
+    # tensor:  zmssd = sum(p^2) - 2 sum(p*t) + sum(t^2) - (sum(p)-sum(t))^2/64.
+    # sum(p) / sum(p^2) are separable 8-tap box sums; the cross term is an
+    # accumulate over the 64 template taps of shifted region views — all
+    # reads hit the small VMEM-resident region, and XLA fuses the
+    # accumulation into one kernel.
+    n = PATCH_SIZE * PATCH_SIZE
 
-    scores = zmssd(template, patches)
+    def box8(a):  # (G,G) -> (S,S) 8x8 window sums
+        rows = sum(a[:, px : px + S] for px in range(PATCH_SIZE))   # (G,S)
+        return sum(rows[py : py + S, :] for py in range(PATCH_SIZE))
+
+    sum_p = box8(region)
+    sum_p2 = box8(region * region)
+    cross = sum(
+        region[py : py + S, px : px + S] * template[py, px]
+        for py in range(PATCH_SIZE)
+        for px in range(PATCH_SIZE)
+    )
+    sum_t = jnp.sum(template)
+    sum_t2 = jnp.sum(template * template)
+    scores = sum_p2 - 2.0 * cross + sum_t2 - (sum_p - sum_t) ** 2 / n
     scores = jnp.where(valid, scores, jnp.inf)
     best = jnp.argmin(scores.reshape(-1))
     by = best // S
@@ -332,38 +360,67 @@ def subpix_template_hessian(template):
     return gx, gy, Hinv
 
 
+# Max drift (search-level px) the single gathered subpix window allows.
+# Inverse-composition updates from a correct coarse match are sub-pixel per
+# iteration and total well under this; drifting out of the window marks the
+# point unconverged (the reference's off-image check plays the same role).
+_SUBPIX_PAD = 3
+
+
 def subpix_refine_w(window_fn, search_level, template, pos_l0,
                     n_its: int = 10, conv_limit: float = 0.03):
     """Iterate inverse composition to convergence for one point
     (ref IterateSubPixToConvergence/IterateSubPix,
-    src/PatchFinder.cc:396-470).  Returns (pos_l0, converged)."""
+    src/PatchFinder.cc:396-470).
+
+    The window around the coarse match is gathered ONCE; the fixed-count
+    iteration then resamples inside it (the per-iteration dynamic gathers
+    were the tracker's hottest memory pattern).  Returns (pos_l0,
+    converged)."""
     gx, gy, Hinv = subpix_template_hessian(template)
-    scale = 2.0 ** search_level.astype(jnp.float32)
+    lvl_f = search_level.astype(jnp.float32)
+    scale = 2.0 ** lvl_f
     hs, ws = window_fn.level_hw
     h_l = hs[search_level].astype(jnp.float32)
     w_l = ws[search_level].astype(jnp.float32)
 
+    P = _SUBPIX_PAD
+    WSZ = PATCH_SIZE + 1 + 2 * P
+    NS = WSZ - PATCH_SIZE + 1  # integer anchor positions per axis
+    center0 = level_n_pos(pos_l0.astype(jnp.float32), lvl_f)
+    base0 = center0 - HALF
+    byi0 = jnp.floor(base0[1]).astype(jnp.int32) - P
+    bxi0 = jnp.floor(base0[0]).astype(jnp.int32) - P
+    win, win_ok = window_fn(search_level, byi0, bxi0, (WSZ, WSZ))
+
+    # all integer-anchored PATCHxPATCH blocks, stacked statically: bilinear
+    # sampling at fractional (wy, wx) becomes a separable hat-weighted sum
+    # over this stack — no dynamic slicing in the loop (batched
+    # dynamic_slice lowers to TPU gather, the old hot spot)
+    SP = PATCH_SIZE
+    wstack = jnp.stack(
+        [jnp.stack([win[a : a + SP, b : b + SP] for b in range(NS)])
+         for a in range(NS)]
+    )  # (NS, NS, SP, SP)
+    anchors = jnp.arange(NS, dtype=jnp.float32)
+
     def body(_, carry):
         pos, mean_diff, done, ok = carry
-        center = level_n_pos(pos, search_level.astype(jnp.float32))
+        center = level_n_pos(pos, lvl_f)
         base = center - HALF
+        # window coords of the (PATCH+1)^2 sample block
+        wy = base[1] - byi0.astype(jnp.float32)
+        wx = base[0] - bxi0.astype(jnp.float32)
         off_edge = (
             (center[0] < HALF + 1) | (center[1] < HALF + 1)
             | (center[0] > w_l - HALF - 2) | (center[1] > h_l - HALF - 2)
+            | (wy < 0) | (wx < 0)
+            | (wy > WSZ - PATCH_SIZE - 2) | (wx > WSZ - PATCH_SIZE - 2)
         )
-        byi = jnp.floor(base[1]).astype(jnp.int32)
-        bxi = jnp.floor(base[0]).astype(jnp.int32)
-        fy = base[1] - byi.astype(jnp.float32)
-        fx = base[0] - bxi.astype(jnp.float32)
-        win, _ = window_fn(
-            search_level, byi, bxi, (PATCH_SIZE + 1, PATCH_SIZE + 1)
-        )
-        tgt = (
-            win[:-1, :-1] * (1 - fy) * (1 - fx)
-            + win[:-1, 1:] * (1 - fy) * fx
-            + win[1:, :-1] * fy * (1 - fx)
-            + win[1:, 1:] * fy * fx
-        )
+        # hat-function weights == bilinear interpolation over the stack
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(wy - anchors))  # (NS,)
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(wx - anchors))
+        tgt = jnp.einsum("a,b,abij->ij", hy, hx, wstack)
         diff = tgt[1:-1, 1:-1] - template[1:-1, 1:-1] + mean_diff
         accum = jnp.stack(
             [jnp.sum(diff * gx), jnp.sum(diff * gy), jnp.sum(diff)]
@@ -384,7 +441,7 @@ def subpix_refine_w(window_fn, search_level, template, pos_l0,
         pos_l0.astype(jnp.float32),
         jnp.zeros(()),
         jnp.zeros((), bool),
-        jnp.ones((), bool),
+        win_ok,
     )
     pos, _, done, ok = jax.lax.fori_loop(0, n_its, body, init)
     return pos, done & ok

@@ -84,27 +84,25 @@ def esm_align(cur_template, target_template, target_gx, target_gy,
     xs = jax.lax.broadcasted_iota(jnp.float32, (ROWS, COLS), 1)
     cx, cy = float(CENTER[0]), float(CENTER[1])
 
+    row_ids = jnp.arange(ROWS, dtype=jnp.float32)
+    col_ids = jnp.arange(COLS, dtype=jnp.float32)
+
     def body(_, carry):
         se2, mean_offset, _score = carry
         c, s, tx, ty = se2
         # warp current template: centered transform W * C * W^{-1};
-        # warped[x] = cur[R @ (x - center) + center + t]
+        # warped[x] = cur[R @ (x - center) + center + t].  Bilinear sampling
+        # is done gather-free: hat-function (triangle) weights over the row
+        # and column index grids turn interpolation into two small
+        # contractions — TPU gathers are the slow path, matmuls are not.
         xr = c * (xs - cx) - s * (ys - cy) + cx + tx
         yr = s * (xs - cx) + c * (ys - cy) + cy + ty
-        x0 = jnp.floor(xr)
-        y0 = jnp.floor(yr)
-        fx = xr - x0
-        fy = yr - y0
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, COLS - 2)
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, ROWS - 2)
-        tl = cur_template[y0i, x0i]
-        tr = cur_template[y0i, x0i + 1]
-        bl = cur_template[y0i + 1, x0i]
-        br = cur_template[y0i + 1, x0i + 1]
-        warped = (
-            tl * (1 - fy) * (1 - fx) + tr * (1 - fy) * fx
-            + bl * fy * (1 - fx) + br * fy * fx
-        )
+        xrc = jnp.clip(xr, 0.0, COLS - 1.0)
+        yrc = jnp.clip(yr, 0.0, ROWS - 1.0)
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(yrc[..., None] - row_ids))  # (R,C,ROWS)
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(xrc[..., None] - col_ids))  # (R,C,COLS)
+        z = jnp.einsum("rcb,ab->rca", hx, cur_template)  # (R,C,ROWS)
+        warped = jnp.einsum("rca,rca->rc", hy, z)
         valid_src = (xr >= 0) & (xr <= COLS - 2) & (yr >= 0) & (yr <= ROWS - 2)
         inner = jnp.zeros((ROWS, COLS), bool).at[1:-1, 1:-1].set(True)
         # gradient of the warped image (needs valid neighbors too)

@@ -89,6 +89,9 @@ class System:
             )
         )
         self._stats_fn = jax.jit(apply_tracker_point_stats)
+        from mcptam_tpu.ops.minipatch import filter_frame_candidates
+        self._cand_filter_fn = jax.jit(filter_frame_candidates)
+        self._prev_feats = None
         self._reloc_fn = jax.jit(
             lambda ms, feats: attempt_recovery(ms, self.cams_sbi, feats)
         )
@@ -148,7 +151,13 @@ class System:
             mean_depth = jnp.mean(res.mean_depth)
             add, _ = need_new_mkf(self.ms, res.pose, mean_depth, self.mcfg)
             if bool(add):
-                self.mapmaker.add_mkf(feats, res.pose, res)
+                # temporal candidate stability pruning before the frame
+                # becomes a keyframe (ref MakeKeyFrame_Rest's MiniPatch
+                # round-trip test, src/KeyFrame.cc:456-529)
+                mk_feats = feats
+                if self._prev_feats is not None:
+                    mk_feats = self._cand_filter_fn(self._prev_feats, feats)
+                self.mapmaker.add_mkf(mk_feats, res.pose, res)
                 added = True
         timing.add = sw.lap()
 
@@ -168,6 +177,7 @@ class System:
         timing.map_num_mkfs = int(count_mkfs(self.ms))
 
         self.frame_count += 1
+        self._prev_feats = feats
         pose34 = np.concatenate(
             [np.asarray(res.pose.R), np.asarray(res.pose.t)[:, None]], axis=1
         )

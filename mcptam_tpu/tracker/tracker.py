@@ -39,7 +39,7 @@ from mcptam_tpu.map.state import MapState
 from mcptam_tpu.map.keyframe import FrameFeatures
 from mcptam_tpu.ops.patch import (
     warp_and_search_level, make_warped_template_w, find_patch_w,
-    subpix_refine_w, make_window_fn3, make_window_fn4,
+    subpix_refine_w, make_window_fn3, make_window_fn4, pack_corner_atlas,
 )
 from mcptam_tpu.ops.sbi import esm_align, se3_from_se2
 
@@ -175,8 +175,12 @@ def _pair_priority(C: int, N: int) -> jnp.ndarray:
 def _select_pairs(valid_cn, priority_cn, k):
     flat_valid = valid_cn.reshape(-1)
     pri = jnp.where(flat_valid, priority_cn.reshape(-1), -jnp.inf)
-    vals, idx = jax.lax.top_k(pri, k)
-    return idx, vals > -jnp.inf
+    # approx_max_k uses the TPU-native approximate top-k (much faster than
+    # the full sort); the priority is a hash standing in for the
+    # reference's random PVS shuffle, so approximate selection is exactly
+    # as principled as exact selection here
+    vals, idx = jax.lax.approx_max_k(pri, k, recall_target=0.95)
+    return idx.astype(jnp.int32), vals > -jnp.inf
 
 
 # ---------------------------------------------------------------------------
@@ -187,31 +191,44 @@ def search_pairs(ms: MapState, feats: FrameFeatures, cam_idx, pt_idx,
                  uv_pred, warp, level, sel_ok, range_l0: int, max_range,
                  subpix_its: int, max_ssd: float):
     """Template + ZMSSD search + subpixel for K selected (cam, point)
-    pairs.  All static shapes; invalid pairs produce found=False."""
+    pairs — the batched K-last engine (ops/batch_patch.py).  All static
+    shapes; invalid pairs produce found=False."""
+    from mcptam_tpu.ops import batch_patch as bp
+    from mcptam_tpu.ops.atlas import level_size_arrays, _level0_width_from_atlas
+
     pts = ms.points
+    packed = pack_corner_atlas(feats.atlas, feats.corner_atlas)
+    H = feats.atlas.shape[1]
+    W0 = _level0_width_from_atlas(feats.atlas.shape[2])
+    level_hw = level_size_arrays(H, W0)
 
-    def per_pair(c, n, uv, A, lvl, ok):
-        src_fn = make_window_fn4(ms.mkfs.atlas, pts.src_mkf[n], pts.src_cam[n])
-        tmpl, t_ok = make_warped_template_w(
-            src_fn, pts.src_level[n], pts.center_xy[n], A, lvl
-        )
-        cur_fn = make_window_fn3(feats.atlas, c)
-        crn_fn = make_window_fn3(feats.corner_atlas, c)
-        found, pos, ssd = find_patch_w(
-            cur_fn, crn_fn, lvl, tmpl, uv, range_l0, max_range,
-            max_ssd=max_ssd,
-        )
-        found = found & t_ok & ok
-        pos_ref, conv = subpix_refine_w(cur_fn, lvl, tmpl, pos, subpix_its)
-        pos = jnp.where(conv & found, pos_ref, pos)
-        return found, pos, conv & found
-
-    return jax.vmap(per_pair)(cam_idx, pt_idx, uv_pred, warp, level, sel_ok)
+    tmpl, t_ok = bp.make_warped_templates(
+        ms.mkfs.atlas, level_hw, pts.src_mkf[pt_idx], pts.src_cam[pt_idx],
+        pts.src_level[pt_idx], pts.center_xy[pt_idx], warp, level,
+    )
+    found, pos, ssd, aux = bp.find_patches(
+        packed, level_hw, cam_idx, level, tmpl, uv_pred, range_l0,
+        max_range, max_ssd=max_ssd,
+    )
+    found = found & t_ok & sel_ok
+    pos_ref, conv = bp.subpix_refine_region(
+        aux, level_hw, level, tmpl, pos, subpix_its
+    )
+    pos = jnp.where((conv & found)[:, None], pos_ref, pos)
+    return found, pos, conv & found
 
 
 # ---------------------------------------------------------------------------
 # Pose solve
 # ---------------------------------------------------------------------------
+
+def _pair_project(cams, cfb: SE3, pose: SE3, pos_w, cam_idx):
+    """Projection only (no Jacobian) for K (point, camera) pairs."""
+    p_base = pose.apply(pos_w)
+    p_cam = jnp.einsum("kij,kj->ki", cfb.R[cam_idx], p_base) + cfb.t[cam_idx]
+    cams_k = jax.tree_util.tree_map(lambda a: a[cam_idx], cams)
+    return project(cams_k, p_cam)
+
 
 def _pair_jacobian(cams, cfb: SE3, pose: SE3, pos_w, cam_idx):
     """Projection + 2x6 base-pose Jacobian for K pairs under `pose`.
@@ -260,46 +277,58 @@ def pose_solve(pose: SE3, ms: MapState, cams, cam_idx, pt_idx, found,
                found_pos, level, iterations: int, prior: float,
                sigma_floor: float):
     """Iterated Tukey-weighted 6-DOF WLS (ref CalcPoseUpdate,
-    src/Tracker.cc:1386-1511).  Re-projects every iteration (cheap under
-    vmap; the reference reprojects at iters 0/4/9 only as a CPU saving).
+    src/Tracker.cc:1386-1511).  Mirrors the reference's schedule: full
+    re-projection + Jacobians at iterations 0, 4 and the last; linear
+    residual updates (e -= J*delta) in between (src/Tracker.cc:1064-1073)
+    — the sequential latency of the iteration chain, not its FLOPs, is
+    what this costs on TPU.
 
     Returns (pose, H (6,6), final_weights (K,), final_err (K,2))."""
     pos_w = ms.points.pos_w[pt_idx]
     inv_scale = 1.0 / (2.0 ** level.astype(jnp.float32))       # 1/LevelScale
+    reproject_at = {0, 4, max(0, iterations - 1)}
 
-    def step(carry, _):
-        pose, _, _ = carry
-        uv, proj_ok, J, _ = _pair_jacobian(cams, ms.cam_from_base, pose, pos_w, cam_idx)
+    def full_linearize(pose):
+        uv, proj_ok, J, _ = _pair_jacobian(
+            cams, ms.cam_from_base, pose, pos_w, cam_idx
+        )
         mask = found & proj_ok
         e = (found_pos - uv) * inv_scale[:, None]
         Js = J * inv_scale[:, None, None]
         # masked pairs can carry non-finite values (e.g. degenerate slots);
         # 0-weight * inf = NaN, so zero them explicitly
-        e = jnp.where(mask[:, None] & jnp.isfinite(e).all(-1, keepdims=True), e, 0.0)
-        fin = mask & jnp.isfinite(Js).all((-2, -1)) & jnp.isfinite(e).all(-1)
-        mask = fin
-        Js = jnp.where(mask[:, None, None], Js, 0.0)
-        e = jnp.where(mask[:, None], e, 0.0)
-        err_sq = jnp.sum(e * e, axis=-1)
-        sigma_sq = jnp.maximum(
-            mest.find_sigma_squared(err_sq, mask), sigma_floor
+        fin = (
+            mask & jnp.isfinite(Js).all((-2, -1)) & jnp.isfinite(e).all(-1)
         )
+        Js = jnp.where(fin[:, None, None], Js, 0.0)
+        e = jnp.where(fin[:, None], e, 0.0)
+        return Js, e, fin
+
+    Js = e = mask = sigma_sq = None
+    H = jnp.eye(6)
+    w = jnp.zeros_like(found, jnp.float32)
+    for it in range(iterations):
+        if it in reproject_at:
+            Js, e, mask = full_linearize(pose)
+        err_sq = jnp.sum(e * e, axis=-1)
+        if it in reproject_at:
+            # the MAD sigma is a full sort over K — recompute it only at
+            # re-linearization points (it drifts slowly between them)
+            sigma_sq = jnp.maximum(
+                mest.find_sigma_squared(err_sq, mask), sigma_floor
+            )
         w = mest.weight(mest.TUKEY, err_sq, sigma_sq) * mask
         H = jnp.einsum("k,kiv,kiw->vw", w, Js, Js) + prior * jnp.eye(6)
         b = jnp.einsum("k,kiv,ki->v", w, Js, e)
         delta = jnp.linalg.solve(H, b)
-        new_pose = SE3.exp(delta) @ pose
-        return (new_pose, H, w), None
+        pose = SE3.exp(delta) @ pose
+        # linear residual update (ref TrackerData::LinearUpdate)
+        e = e - jnp.einsum("kiv,v->ki", Js, delta)
 
-    H0 = jnp.eye(6)
-    (pose, H, w), _ = jax.lax.scan(
-        step, (pose, H0, jnp.zeros_like(found, jnp.float32)), None,
-        length=iterations,
-    )
     # final residuals for outlier marking
     uv, proj_ok, _, _ = _pair_jacobian(cams, ms.cam_from_base, pose, pos_w, cam_idx)
-    e = (found_pos - uv) * inv_scale[:, None]
-    return pose, H, w, e
+    e_fin = (found_pos - uv) * inv_scale[:, None]
+    return pose, H, w, e_fin
 
 
 def robust_mean_depth(p_cam_z, mask):
@@ -327,7 +356,12 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
     N = ms.points.capacity
 
     # ---- 1. motion model
-    sbi_rot, have_rot = calc_sbi_rotation(ts, feats, cams_sbi, ms.cam_from_base)
+    if getattr(tcfg, "use_sbi_rotation", True):
+        sbi_rot, have_rot = calc_sbi_rotation(
+            ts, feats, cams_sbi, ms.cam_from_base
+        )
+    else:
+        sbi_rot, have_rot = jnp.zeros(3), jnp.zeros((), bool)
     v6 = ts.vel
     v6 = jnp.where(have_rot, v6.at[3:].set(sbi_rot), v6)
     pose_pred = SE3.exp(v6) @ ts.pose
@@ -343,9 +377,13 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
     c_uv = pvs["uv"].reshape(-1, 2)[c_idx]
     c_warp = pvs["warp"].reshape(-1, 2, 2)[c_idx]
     c_lvl = pvs["level"].reshape(-1)[c_idx]
+    # static window radius in LEVEL pixels: coarse pairs are all level>=2,
+    # so the worst-case level radius is range/4 — a 61-wide window would
+    # waste 13x the gather+score work
+    coarse_range_lvl = -(-tcfg.coarse_range // 4)
     cf_found, cf_pos, cf_sub = search_pairs(
         ms, feats, c_cam, c_pt, c_uv, c_warp, c_lvl, c_ok,
-        tcfg.coarse_range, jnp.asarray(float(tcfg.coarse_range)),
+        coarse_range_lvl, jnp.asarray(float(tcfg.coarse_range)),
         tcfg.coarse_sub_pix_its, max_ssd=64 * 250.0,
     )
     n_coarse_found = jnp.sum(cf_found)
@@ -358,20 +396,28 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
         lambda a, b: jnp.where(do_coarse, a, b), pose_c, pose_pred
     )
 
-    # ---- 4. fine stage: re-project under refined pose, all levels
-    pvs2 = compute_pvs(ms, cams, pose_after_coarse)
-    f_idx, f_ok = _select_pairs(pvs2["valid"], priority, tcfg.max_patches_per_frame)
+    # ---- 4. fine stage.  The PVS (warp matrices, search levels, validity)
+    # is computed ONCE per frame from the predicted pose — as the reference
+    # does (FindPVS, src/Tracker.cc:663) — and only the predicted image
+    # positions of the SELECTED pairs are re-projected under the
+    # coarse-refined pose (TrackerData::Project re-runs per stage).
+    f_idx, f_ok = _select_pairs(pvs["valid"], priority, tcfg.max_patches_per_frame)
     f_cam = (f_idx // N).astype(jnp.int32)
     f_pt = (f_idx % N).astype(jnp.int32)
-    f_uv = pvs2["uv"].reshape(-1, 2)[f_idx]
-    f_warp = pvs2["warp"].reshape(-1, 2, 2)[f_idx]
-    f_lvl = pvs2["level"].reshape(-1)[f_idx]
+    f_warp = pvs["warp"].reshape(-1, 2, 2)[f_idx]
+    f_lvl = pvs["level"].reshape(-1)[f_idx]
+    f_uv, f_proj_ok = _pair_project(
+        cams, ms.cam_from_base, pose_after_coarse,
+        ms.points.pos_w[f_pt], f_cam,
+    )
+    f_ok = f_ok & f_proj_ok
     fine_range = jnp.where(
         do_coarse, float(tcfg.fine_range), float(tcfg.fine_range_first)
     )
     ff_found, ff_pos, ff_sub = search_pairs(
         ms, feats, f_cam, f_pt, f_uv, f_warp, f_lvl, f_ok,
-        tcfg.fine_range_first, fine_range, 10, max_ssd=64 * 250.0,
+        tcfg.fine_range_first, fine_range, tcfg.fine_sub_pix_its,
+        max_ssd=64 * 250.0,
     )
 
     # ---- 5. pose solve

@@ -1,5 +1,7 @@
 """Perf study of the full tracking step on the real chip (cache-assisted)."""
 import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import time
 import jax
