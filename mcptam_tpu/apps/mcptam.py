@@ -22,6 +22,10 @@ def main(argv=None):
     p.add_argument("--load-map", default="", help="start from a saved map")
     p.add_argument("--align-plane", action="store_true",
                    help="align world to the dominant plane at the end")
+    p.add_argument("--export-ply", default="",
+                   help="write the final map (+trajectory) as a PLY cloud")
+    p.add_argument("--dump-kfs", default="",
+                   help="directory for keyframe overlay images (.ppm)")
     args = p.parse_args(argv)
     ensure_jax_platform(args.platform)
 
@@ -42,6 +46,14 @@ def main(argv=None):
         if args.out_map:
             from mcptam_tpu.system.mapio import save_map
             save_map(args.out_map, system.ms)
+    if args.export_ply:
+        from mcptam_tpu.system.viewer import export_ply
+        n = export_ply(args.export_ply, system.ms)
+        print(f"[mcptam] wrote {n} vertices to {args.export_ply}")
+    if args.dump_kfs:
+        from mcptam_tpu.system.viewer import dump_keyframes
+        paths = dump_keyframes(system.ms, args.dump_kfs)
+        print(f"[mcptam] wrote {len(paths)} keyframe overlays to {args.dump_kfs}")
     return 0
 
 
