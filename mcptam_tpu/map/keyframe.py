@@ -23,8 +23,9 @@ from mcptam_tpu.config import (
 )
 from mcptam_tpu.ops.pyramid import build_pyramid
 from mcptam_tpu.ops.fast import (
-    fast_score_image, adaptive_threshold, nonmax_3x3, topk_corners,
+    adaptive_threshold_from_freq, topk_corners_blocked,
 )
+from mcptam_tpu.ops.fast_pallas import fast_frontend_auto
 from mcptam_tpu.ops.atlas import build_atlas
 from mcptam_tpu.ops.sbi import make_sbi, sbi_gradients
 
@@ -97,19 +98,22 @@ def make_frame_features(
             m = m & glare_mask(pyr[l])
         masks.append(m)
 
-    scores = [fast_score_image(pyr[l]) for l in range(LEVELS)]
+    # fused Pallas front-end (ops/fast_pallas.py): FAST score + 3x3 nonmax
+    # + cumulative threshold histogram in ONE read-once pass per level
+    # (the separate score/threshold/nonmax ops cost ~13 GB of HBM/frame)
+    fronts = [fast_frontend_auto(pyr[l]) for l in range(LEVELS)]
+    scores = [f[0] for f in fronts]
 
     thresholds = []
     corner_maps = []
     counts = []
     for l in range(LEVELS):
         if fcfg.adaptive_thresh:
-            t = jax.vmap(
-                lambda s: adaptive_threshold(
-                    s, fcfg.min_fast_thresh, fcfg.max_fast_thresh,
-                    fcfg.adapt_target_divisor,
-                )
-            )(scores[l])  # (C,)
+            h, w = scores[l].shape[-2:]
+            t = adaptive_threshold_from_freq(
+                fronts[l][2], h * w, fcfg.min_fast_thresh,
+                fcfg.max_fast_thresh, fcfg.adapt_target_divisor,
+            )  # (C,)
         else:
             t = jnp.full((C,), float(fcfg.fixed_thresholds[l]))
         cm = (scores[l] > t[:, None, None] - 1e-6) & masks[l]
@@ -120,15 +124,21 @@ def make_frame_features(
     atlas = build_atlas(pyr)
     corner_atlas = build_atlas([m.astype(jnp.float32) for m in corner_maps])
 
-    # candidates: nonmax over masked scores, 10px border, top-k
+    # candidates: nonmax-suppressed scores (from the fused kernel), then
+    # threshold/border/static masks, then top-k.  (The reference masks
+    # before nonmax; masking after only differs when a masked-out pixel
+    # would have suppressed a kept corner at a mask boundary.)  Nonmax
+    # guarantees kept corners are >= 2 px apart, so block=2 cell-max
+    # selection is EXACT while shrinking the top-k sort 4x.
     cand_xy, cand_score, cand_valid = [], [], []
     for l in range(LEVELS):
         k = min(MAX_CANDIDATES_PER_LEVEL[l], (H >> l) * (W >> l))
         h, w = scores[l].shape[-2:]
         border = _border_mask(h, w, CANDIDATE_BORDER)
-        masked = jnp.where(corner_maps[l] & border, scores[l], 0.0)
-        nm = nonmax_3x3(masked)
-        xy, vals, valid = jax.vmap(lambda s: topk_corners(s, k, 0.0))(nm)
+        masked_nm = jnp.where(corner_maps[l] & border, fronts[l][1], 0.0)
+        xy, vals, valid = jax.vmap(
+            lambda s: topk_corners_blocked(s, k, 0.0, block=2)
+        )(masked_nm)
         cand_xy.append(xy)
         cand_score.append(vals)
         cand_valid.append(valid)

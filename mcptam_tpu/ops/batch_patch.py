@@ -313,21 +313,21 @@ def _subpix_iterate(winT, win_ok, level_hw, search_level, templates, pos_l0,
 
     P = _SUBPIX_PAD
     WSZ = PATCH_SIZE + 1 + 2 * P
-    NS = WSZ - PATCH_SIZE + 1
     center0 = level_n_pos(pos_l0, lvl_f[:, None])
     base0 = center0 - HALF
     byi0 = jnp.floor(base0[:, 1]).astype(jnp.int32) - P
     bxi0 = jnp.floor(base0[:, 0]).astype(jnp.int32) - P
 
     SP = PATCH_SIZE
-    wstack = jnp.stack(
-        [jnp.stack([winT[a : a + SP, b : b + SP, :] for b in range(NS)])
-         for a in range(NS)]
-    )  # (NS,NS,SP,SP,K)
     tmplT = jnp.transpose(templates, (1, 2, 0))                # (SP,SP,K)
     gxT = jnp.transpose(gx, (1, 2, 0))
     gyT = jnp.transpose(gy, (1, 2, 0))
-    anchors = jnp.arange(NS, dtype=jnp.float32)
+    # hat anchors over window rows/cols: the resample below contracts the
+    # (WSZ,WSZ,K) window with per-axis bilinear hat weights directly —
+    # an (NS,NS,SP,SP,K) shifted-window stack materializes ~130 MB per
+    # solve and dominated the tracker's HBM traffic
+    sp_ids = jnp.arange(SP, dtype=jnp.float32)
+    w_ids = jnp.arange(WSZ, dtype=jnp.float32)
 
     def body(_, carry):
         pos, mean_diff, done, ok = carry                       # pos (K,2)
@@ -341,9 +341,22 @@ def _subpix_iterate(winT, win_ok, level_hw, search_level, templates, pos_l0,
             | (wy < 0) | (wx < 0)
             | (wy > WSZ - PATCH_SIZE - 2) | (wx > WSZ - PATCH_SIZE - 2)
         )
-        hy = jnp.maximum(0.0, 1.0 - jnp.abs(wy[:, None] - anchors))  # (K,NS)
-        hx = jnp.maximum(0.0, 1.0 - jnp.abs(wx[:, None] - anchors))
-        tgt = jnp.einsum("ka,kb,abijk->ijk", hy, hx, wstack)   # (SP,SP,K)
+        # hy2[k,i,r] = hat((wy+i) - r): row weights of template row i over
+        # window row r (2 nonzeros per (k,i)); same for columns
+        hy2 = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(
+                wy[:, None, None] + sp_ids[None, :, None] - w_ids[None, None, :]
+            ),
+        )                                                      # (K,SP,WSZ)
+        hx2 = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(
+                wx[:, None, None] + sp_ids[None, :, None] - w_ids[None, None, :]
+            ),
+        )
+        z = jnp.einsum("kir,rck->ick", hy2, winT)              # (SP,WSZ,K)
+        tgt = jnp.einsum("kjc,ick->ijk", hx2, z)               # (SP,SP,K)
         diff = tgt[1:-1, 1:-1, :] - tmplT[1:-1, 1:-1, :] + mean_diff
         accum = jnp.stack([
             jnp.sum(diff * gxT, axis=(0, 1)),

@@ -120,6 +120,37 @@ def adaptive_threshold(
     return ts[idx]
 
 
+def adaptive_threshold_from_freq(
+    freq: jnp.ndarray,
+    n_pixels: int,
+    min_thresh: int = 5,
+    max_thresh: int = 60,
+    target_divisor: float = 500.0,
+) -> jnp.ndarray:
+    """Knee-point threshold from a precomputed cumulative histogram.
+
+    freq: (..., NBINS) with freq[..., t] = #(score > t) (as produced by
+    ops/fast_pallas.fast_frontend) — the bandwidth-lean replacement for
+    ``adaptive_threshold``'s (T, H*W) broadcast compare.  Same knee walk
+    as src/KeyFrame.cc:247-316.
+    """
+    f = freq[..., min_thresh : max_thresh + 1].astype(jnp.float32)
+    n = f.shape[-1]
+    deriv = jnp.concatenate(
+        [
+            (f[..., 1:2] - f[..., 0:1]),
+            (f[..., 2:] - f[..., :-2]) * 0.5,
+            (f[..., -1:] - f[..., -2:-1]),
+        ],
+        axis=-1,
+    )
+    target = -n_pixels / target_divisor
+    exceeded = deriv > target
+    idx = jnp.argmax(exceeded, axis=-1)
+    idx = jnp.where(jnp.any(exceeded, axis=-1), idx, n - 1)
+    return (min_thresh + idx).astype(jnp.float32)
+
+
 def nonmax_3x3(score: jnp.ndarray) -> jnp.ndarray:
     """Keep scores that are strict maxima of their 3x3 neighborhood (ties
     broken towards the raster-first pixel), zero elsewhere.  Replaces
