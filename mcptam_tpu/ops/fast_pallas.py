@@ -71,7 +71,7 @@ def _score_rows(x, TR2: int):
 
 
 def _fast_kernel(img_ref, score_ref, nm_ref, freq_ref, scratch, sem,
-                 *, TR: int, W: int, H: int):
+                 *, TR: int, W: int, Wp: int, H: int):
     c = pl.program_id(0)
     i = pl.program_id(1)
     TR16 = TR + _HALO
@@ -86,9 +86,9 @@ def _fast_kernel(img_ref, score_ref, nm_ref, freq_ref, scratch, sem,
     TR2 = TR + 2  # scores for rows -1 .. TR (nonmax halo)
     s_ext = _score_rows(x, TR2)
 
-    # border + out-of-image mask (global coords; padded rows are masked off)
-    gy = (i * TR - 1) + jax.lax.broadcasted_iota(jnp.int32, (TR2, W), 0)
-    gx = jax.lax.broadcasted_iota(jnp.int32, (TR2, W), 1)
+    # border + out-of-image mask (global coords; padded rows/cols masked off)
+    gy = (i * TR - 1) + jax.lax.broadcasted_iota(jnp.int32, (TR2, Wp), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (TR2, Wp), 1)
     inb = (
         (gy >= BORDER) & (gy < H - BORDER)
         & (gx >= BORDER) & (gx < W - BORDER)
@@ -113,14 +113,19 @@ def _fast_kernel(img_ref, score_ref, nm_ref, freq_ref, scratch, sem,
 
     # cumulative histogram: freq[t] = #(score > t - eps) over this tile's
     # in-image rows (the last tile's padded rows score 0 and would
-    # otherwise inflate bin 0)
+    # otherwise inflate bin 0).  Emitted as lane t of row 0 of an (8,128)
+    # tile — the smallest legal f32 VMEM block.
     inimg = (
-        i * TR + jax.lax.broadcasted_iota(jnp.int32, (TR, W), 0) < H
+        (i * TR + jax.lax.broadcasted_iota(jnp.int32, (TR, Wp), 0) < H)
+        & (jax.lax.broadcasted_iota(jnp.int32, (TR, Wp), 1) < W)
     ).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    acc = jnp.zeros((8, 128), jnp.float32)
     for t in range(NBINS):
-        freq_ref[0, 0, t] = jnp.sum(
-            inimg * (score > (t - 1e-6)).astype(jnp.float32)
-        )
+        cnt = jnp.sum(inimg * (score > (t - 1e-6)).astype(jnp.float32))
+        acc = acc + jnp.where((row == 0) & (lane == t), cnt, 0.0)
+    freq_ref[0, 0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -135,36 +140,38 @@ def fast_frontend(img: jnp.ndarray, interpret: bool = False):
     TR = min(48, max(8, ((H + 7) // 8) * 8))
     nH = -(-H // TR)
     Hp = nH * TR + _HALO
+    Wp = -(-W // 128) * 128  # lane-tile alignment for the row-tile DMA
     # shift the image down 8 rows (alignment) => tile i reads padded rows
     # [i*TR, i*TR + TR + 16) and its row r maps to image row i*TR + r - 8
-    padded = jnp.zeros((C, Hp, W), img.dtype)
+    padded = jnp.zeros((C, Hp, Wp), img.dtype)
     padded = jax.lax.dynamic_update_slice(padded, img, (0, 8, 0))
 
-    kernel = functools.partial(_fast_kernel, TR=TR, W=W, H=H)
+    kernel = functools.partial(_fast_kernel, TR=TR, W=W, Wp=Wp, H=H)
     score, nm, freq = pl.pallas_call(
         kernel,
         grid=(C, nH),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, TR, W), lambda c, i: (c, i, 0),
+            pl.BlockSpec((1, TR, Wp), lambda c, i: (c, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TR, W), lambda c, i: (c, i, 0),
+            pl.BlockSpec((1, TR, Wp), lambda c, i: (c, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NBINS), lambda c, i: (c, i, 0),
+            pl.BlockSpec((1, 1, 8, 128), lambda c, i: (c, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((C, nH * TR, W), jnp.float32),
-            jax.ShapeDtypeStruct((C, nH * TR, W), jnp.float32),
-            jax.ShapeDtypeStruct((C, nH, NBINS), jnp.float32),
+            jax.ShapeDtypeStruct((C, nH * TR, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((C, nH * TR, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((C, nH, 8, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TR + _HALO, W), jnp.float32),
+            pltpu.VMEM((TR + _HALO, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(padded)
-    return score[:, :H, :], nm[:, :H, :], jnp.sum(freq, axis=1)
+    return (score[:, :H, :W], nm[:, :H, :W],
+            jnp.sum(freq[:, :, 0, :NBINS], axis=1))
 
 
 def fast_frontend_reference(img: jnp.ndarray):
