@@ -54,10 +54,10 @@ def main():
     for i in range(4):
         v = jnp.asarray([0.01 * i, -0.005 * i, 0.008 * i, 0.002 * i, 0.0, 0.001 * i])
         frames.append(
-            jnp.asarray(
-                render_rig(cams, cam_from_base, SE3.exp(v), 3.0, H, W),
-                jnp.float32,
-            )
+            jnp.clip(
+                jnp.asarray(render_rig(cams, cam_from_base, SE3.exp(v), 3.0, H, W)),
+                0, 255,
+            ).astype(jnp.uint8)
         )
 
     ts = create_tracker_state(C)

@@ -53,6 +53,10 @@ PATCH_SIZE = 8
 # SmallBlurryImage size (reference src/SmallBlurryImage.cc:50).
 SBI_SIZE = (30, 40)  # rows, cols
 
+# Side of the per-point source patch window stored in the map
+# (= 2 * template source half-size + 2; see ops/batch_patch._SRC_HALF).
+SRC_WINDOW = 26
+
 # Degree cap for the inverse Taylor polynomial fit
 # (reference include/mcptam/TaylorCamera.h:74 MAX_INV_DEGREE=30).
 MAX_INV_DEGREE = 30

@@ -91,6 +91,21 @@ def add_points(ms: MapState, cams: CameraModel, mkf_idx, cam_idx, level,
     if fixed is None:
         fixed = jnp.zeros(Q, bool)
 
+    # snapshot the source patch window from the (already committed) source
+    # keyframe — the patch source is immutable (reference
+    # MapPoint::mpPatchSourceKF + irCenter), so the tracker's template
+    # generation never needs the full KF atlas store again
+    from mcptam_tpu.config import SRC_WINDOW
+    from mcptam_tpu.ops.batch_patch import gather_windows4, _SRC_HALF
+    cxi = jnp.floor(xy_level[:, 0]).astype(jnp.int32)
+    cyi = jnp.floor(xy_level[:, 1]).astype(jnp.int32)
+    src_win, win_ok = gather_windows4(
+        ms.mkfs.atlas, jnp.broadcast_to(mkf_idx, (Q,)).astype(jnp.int32),
+        cam_idx.astype(jnp.int32), level.astype(jnp.int32),
+        cyi - _SRC_HALF, cxi - _SRC_HALF, SRC_WINDOW,
+    )
+    src_win_u8 = jnp.clip(src_win, 0, 255).astype(jnp.uint8)
+
     def sc(arr, val):
         """Masked scatter at slot."""
         return arr.at[slot].set(
@@ -99,6 +114,8 @@ def add_points(ms: MapState, cams: CameraModel, mkf_idx, cam_idx, level,
 
     pts = pts.replace(
         pos_w=sc(pts.pos_w, pos_w),
+        src_window=sc(pts.src_window, src_win_u8),
+        src_window_ok=sc(pts.src_window_ok, win_ok),
         valid=pts.valid.at[slot].set(ok | pts.valid[slot]),
         bad=sc(pts.bad, jnp.zeros(Q, bool)),
         fixed=sc(pts.fixed, fixed),

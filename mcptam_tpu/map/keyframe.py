@@ -83,6 +83,9 @@ def make_frame_features(
     Fully jit-compatible; all caps static.
     """
     C, H, W = images.shape
+    # accept uint8 camera frames directly (4x less host->device traffic
+    # than f32; the reference's CVD::Image<byte> is likewise byte-valued)
+    images = images.astype(jnp.float32)
     pyr = build_pyramid(images)  # tuple of (C,h,w)
 
     # masks per level: static mask downsampled + glare

@@ -50,6 +50,13 @@ class PointArrays:
     src_cam: jnp.ndarray      # (N,)
     src_level: jnp.ndarray    # (N,)
     center_xy: jnp.ndarray    # (N,2) source-level patch center
+    src_window: jnp.ndarray   # (N,SW,SW) uint8 source patch window, fixed at
+                              # creation (the reference's patch source is
+                              # likewise immutable: MapPoint::mpPatchSourceKF
+                              # + irCenter, include/mcptam/MapPoint.h:104-110).
+                              # Storing it per point keeps the tracker's
+                              # working set free of the full KF atlas store.
+    src_window_ok: jnp.ndarray  # (N,) window fully inside the source atlas
     center_nc: jnp.ndarray    # (N,3) unit ray of center in source cam frame
     right_nc: jnp.ndarray     # (N,3) unit ray one pixel right
     down_nc: jnp.ndarray      # (N,3) unit ray one pixel down
@@ -126,6 +133,8 @@ def create_map_state(
         optimized=f(N, bool), never_retry=f(N, bool),
         src_mkf=f(N, jnp.int32), src_cam=f(N, jnp.int32),
         src_level=f(N, jnp.int32), center_xy=f((N, 2)),
+        src_window=f((N, cfg.SRC_WINDOW, cfg.SRC_WINDOW), jnp.uint8),
+        src_window_ok=f(N, bool),
         center_nc=f((N, 3)), right_nc=f((N, 3)), down_nc=f((N, 3)),
         pixel_right_w=f((N, 3)), pixel_down_w=f((N, 3)),
         in_count=f(N, jnp.int32), out_count=f(N, jnp.int32),

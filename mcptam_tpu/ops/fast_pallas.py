@@ -189,6 +189,7 @@ def fast_frontend_reference(img: jnp.ndarray):
 
 def fast_frontend_auto(img: jnp.ndarray):
     """Kernel on TPU, reference elsewhere (tests run on a CPU mesh)."""
-    if jax.default_backend() == "tpu":
+    import os
+    if jax.default_backend() == "tpu" and not os.environ.get("MCPTAM_NO_PALLAS"):
         return fast_frontend(img)
     return fast_frontend_reference(img)

@@ -164,7 +164,8 @@ class _ResultView:
 
 _POINT_FIELDS = [
     "pos_w", "valid", "bad", "fixed", "optimized", "never_retry", "src_mkf",
-    "src_cam", "src_level", "center_xy", "center_nc", "right_nc", "down_nc",
+    "src_cam", "src_level", "center_xy", "src_window", "src_window_ok",
+    "center_nc", "right_nc", "down_nc",
     "pixel_right_w", "pixel_down_w", "in_count", "out_count",
 ]
 _MEAS_FIELDS = ["mkf", "cam", "point", "level", "uv_l0", "valid", "source", "subpix"]

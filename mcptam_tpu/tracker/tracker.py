@@ -203,7 +203,7 @@ def search_pairs(ms: MapState, feats: FrameFeatures, cam_idx, pt_idx,
     level_hw = level_size_arrays(H, W0)
 
     tmpl, t_ok = bp.make_warped_templates(
-        ms.mkfs.atlas, level_hw, pts.src_mkf[pt_idx], pts.src_cam[pt_idx],
+        pts.src_window[pt_idx], pts.src_window_ok[pt_idx], level_hw,
         pts.src_level[pt_idx], pts.center_xy[pt_idx], warp, level,
     )
     found, pos, ssd, aux = bp.find_patches(
