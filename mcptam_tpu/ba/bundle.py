@@ -141,7 +141,7 @@ def _robust(e, ok, bcfg: BundleConfig):
     """Adaptive Huber: sigma = max(sqrt(median chi2), min_sigma)
     (ref RobustKernelAdaptive, src/ChainBundle.cc:871-901)."""
     chi2 = jnp.sum(e * e, axis=-1)
-    med = mest.masked_median(chi2, ok)
+    med = mest.masked_median_bisect(chi2, ok)
     sigma_sq = jnp.maximum(med, bcfg.min_sigma_px**2)
     w = mest.weight(mest.HUBER, chi2, sigma_sq) * ok
     cost = jnp.sum(mest.objective_score(mest.HUBER, chi2, sigma_sq) * ok)
@@ -350,5 +350,5 @@ def point_depth_covariance(prob: BundleProblem, st: LMState,
     r = d / jnp.where(n < 1e-9, 1.0, n)
     cov = jnp.einsum("li,lij,lj->l", r, Vinv, r)
     has_obs = jnp.zeros(L, bool).at[prob.m_point].max(ok) & prob.movable_pt
-    med = mest.masked_median(cov, has_obs)
+    med = mest.masked_median_bisect(cov, has_obs)
     return med, cov

@@ -8,6 +8,7 @@ the masked-median MAD rule the reference applies (MEstimator.h:109-123):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 TUKEY = "tukey"
@@ -31,9 +32,43 @@ def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(count > 0, med, jnp.zeros_like(med))
 
 
-def find_sigma_squared(err_sq: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """MAD-style sigma^2 from masked squared errors (MEstimator.h:109-123)."""
-    med = masked_median(err_sq, mask)
+def masked_median_bisect(x: jnp.ndarray, mask: jnp.ndarray,
+                         iters: int = 26) -> jnp.ndarray:
+    """Lower median of x where mask, by bisection counting.
+
+    A TPU sort instantiates ~3 MB of generated code per call site and is
+    among the slowest single ops on the chip; this is a rolled fori_loop
+    of compare+count passes instead, converging to (range / 2^iters)
+    absolute precision — used on every hot path where the median feeds a
+    robust sigma (the MAD scale is a statistical estimate; quantization
+    far below the sample noise is immaterial)."""
+    inf = jnp.asarray(jnp.inf, x.dtype)
+    lo = jnp.min(jnp.where(mask, x, inf), axis=-1)
+    hi = jnp.max(jnp.where(mask, x, -inf), axis=-1)
+    n = jnp.sum(mask, axis=-1)
+    ok = n > 0
+    lo = jnp.where(ok, lo, 0.0)
+    hi = jnp.where(ok, hi, 0.0)
+    half = (n + 1) // 2  # rank of the lower median
+
+    def body(_, c):
+        lo, hi = c
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((x <= mid[..., None]) & mask, axis=-1)
+        ge = cnt >= half
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return jnp.where(ok, hi, jnp.zeros_like(hi))
+
+
+def find_sigma_squared(err_sq: jnp.ndarray, mask: jnp.ndarray,
+                       exact: bool = False) -> jnp.ndarray:
+    """MAD-style sigma^2 from masked squared errors (MEstimator.h:109-123).
+
+    exact=True uses the sort-based median (tests / cold paths); the
+    default bisection median keeps sorts out of jitted hot loops."""
+    med = (masked_median if exact else masked_median_bisect)(err_sq, mask)
     n = jnp.maximum(jnp.sum(mask, axis=-1).astype(err_sq.dtype), 2.0)
     sigma = 1.4826 * (1.0 + 5.0 / (n - 1.0)) * jnp.sqrt(med)
     return sigma * sigma

@@ -23,7 +23,7 @@ from mcptam_tpu.config import (
 )
 from mcptam_tpu.ops.pyramid import build_pyramid
 from mcptam_tpu.ops.fast import (
-    adaptive_threshold_from_freq, topk_corners_blocked,
+    adaptive_threshold_from_freq, select_corners_cutoff, cutoff_from_freq,
 )
 from mcptam_tpu.ops.fast_pallas import fast_frontend_auto
 from mcptam_tpu.ops.atlas import build_atlas
@@ -127,21 +127,25 @@ def make_frame_features(
     atlas = build_atlas(pyr)
     corner_atlas = build_atlas([m.astype(jnp.float32) for m in corner_maps])
 
-    # candidates: nonmax-suppressed scores (from the fused kernel), then
-    # threshold/border/static masks, then top-k.  (The reference masks
+    # candidates: nonmax-suppressed corners above a capacity-adapted score
+    # cutoff (the reference's "thresh" candidate criterion,
+    # src/KeyFrame.cc:363-452).  The cutoff comes from the fused kernel's
+    # nonmax histogram so the survivor count provably fits the static
+    # capacity, and the selection is a raster-order cumsum compaction —
+    # no runtime sort anywhere in the front-end.  (The reference masks
     # before nonmax; masking after only differs when a masked-out pixel
-    # would have suppressed a kept corner at a mask boundary.)  Nonmax
-    # guarantees kept corners are >= 2 px apart, so block=2 cell-max
-    # selection is EXACT while shrinking the top-k sort 4x.
+    # would have suppressed a kept corner at a mask boundary.)
     cand_xy, cand_score, cand_valid = [], [], []
     for l in range(LEVELS):
         k = min(MAX_CANDIDATES_PER_LEVEL[l], (H >> l) * (W >> l))
         h, w = scores[l].shape[-2:]
         border = _border_mask(h, w, CANDIDATE_BORDER)
-        masked_nm = jnp.where(corner_maps[l] & border, fronts[l][1], 0.0)
+        cutoff = cutoff_from_freq(fronts[l][3], thresholds[l], k)  # (C,)
         xy, vals, valid = jax.vmap(
-            lambda s: topk_corners_blocked(s, k, 0.0, block=2)
-        )(masked_nm)
+            lambda nm_c, m_c, cut_c, t_c: select_corners_cutoff(
+                nm_c, m_c, cut_c, k, floor=t_c
+            )
+        )(fronts[l][1], masks[l] & border, cutoff, thresholds[l])
         cand_xy.append(xy)
         cand_score.append(vals)
         cand_valid.append(valid)

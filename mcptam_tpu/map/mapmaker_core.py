@@ -32,10 +32,19 @@ from mcptam_tpu.map.refind import refind_in_keyframes, measurement_table
 
 
 def _level_candidates(feats: FrameFeatures, cam: int, level: int, cap: int):
-    """First `cap` candidates of a camera/level as (xy (cap,2), want)."""
-    xy = feats.cand_xy[level][cam][:cap].astype(jnp.float32)
-    want = feats.cand_valid[level][cam][:cap]
-    return xy, want
+    """Best `cap` candidates (by FAST score) of a camera/level as
+    (xy (cap,2), want).
+
+    Candidate lists arrive raster-order compacted (sort-free tracker
+    front-end); the map maker wants the strongest corners, so rank the
+    small (<=512) list here — this runs only at MKF integration, off the
+    frame-rate path, where a tiny top_k is free."""
+    score = jnp.where(
+        feats.cand_valid[level][cam], feats.cand_score[level][cam], -1.0
+    )
+    vals, pos = jax.lax.top_k(score, cap)
+    xy = feats.cand_xy[level][cam][pos].astype(jnp.float32)
+    return xy, vals > 0.0
 
 
 def init_from_mkf(ms: MapState, cams: CameraModel, feats: FrameFeatures,

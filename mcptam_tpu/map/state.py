@@ -263,7 +263,7 @@ def refresh_scene_depths(ms: MapState) -> MapState:
 
     flatd = depths.reshape(M * C, -1)
     flatm = mk.reshape(M * C, -1)
-    med = mest.masked_median(flatd, flatm)
+    med = mest.masked_median_bisect(flatd, flatm)
     dist_sq = (flatd - med[:, None]) ** 2
     sig_sq = jnp.maximum(mest.find_sigma_squared(dist_sq, flatm), 0.4)
     w = jnp.sqrt(mest.weight(mest.HUBER, dist_sq, sig_sq[:, None]))

@@ -196,6 +196,65 @@ def shi_tomasi_image(img: jnp.ndarray, radius: int = 3) -> jnp.ndarray:
     return 0.5 * (tr - det_part) / (2.0 * n)
 
 
+def select_corners_cutoff(nm: jnp.ndarray, mask: jnp.ndarray, cutoff,
+                          k: int, floor=None):
+    """Sort-free candidate selection: all nonmax corners with score above
+    ``cutoff`` (chosen from the freq_nm histogram so the count fits the
+    static capacity k), compacted in raster order.
+
+    This is the reference's "thresh" candidate criterion
+    (src/KeyFrame.cc:363-452) with the threshold adapted to the capacity —
+    a TPU top_k instantiates ~3 MB of unrolled sort code per call site and
+    dominates both executable size and slow-path dispatch; the cumsum
+    compaction here is a handful of vector ops.
+
+    nm: (H,W) nonmax-suppressed scores; mask: (H,W) candidate mask
+    (border/static/glare); cutoff: scalar score threshold; floor: scalar
+    hard minimum (the detection threshold) the boundary-bin fill may not
+    dip below.
+    Returns (xy (k,2) int32, scores (k,), valid (k,)).
+    """
+    H, W = nm.shape
+    if floor is None:
+        floor = cutoff - 1.0
+    # two tiers: everything above the cutoff (provably <= k of them), then
+    # corners in the boundary bin (max(cutoff-1, floor), cutoff] to fill
+    # the remaining capacity — top-k parity down to integer-bin
+    # granularity, never admitting sub-threshold corners
+    m1 = (nm > cutoff - 1e-6).reshape(-1) & mask.reshape(-1)
+    m2 = (nm > jnp.maximum(cutoff - 1.0, floor) - 1e-6).reshape(-1) \
+        & mask.reshape(-1) & ~m1
+    rank1 = jnp.cumsum(m1.astype(jnp.int32)) - 1
+    n1 = jnp.sum(m1.astype(jnp.int32))
+    rank2 = n1 + jnp.cumsum(m2.astype(jnp.int32)) - 1
+    rank = jnp.where(m1, rank1, rank2)
+    sel = (m1 | m2) & (rank < k)
+    tgt = jnp.where(sel, rank, k)
+    idx = jnp.zeros((k + 1,), jnp.int32).at[tgt].set(
+        jnp.arange(H * W, dtype=jnp.int32), mode="drop"
+    )[:k]
+    n_sel = jnp.minimum(n1 + jnp.sum(m2.astype(jnp.int32)), k)
+    valid = jnp.arange(k) < n_sel
+    xy = jnp.stack([idx % W, idx // W], axis=-1)
+    score = nm.reshape(-1)[idx] * valid
+    return xy, score, valid
+
+
+def cutoff_from_freq(freq_nm: jnp.ndarray, thresholds: jnp.ndarray, k: int):
+    """Smallest integer cutoff >= threshold whose surviving-corner count
+    (from the cumulative nonmax histogram freq_nm (...,NBINS)) fits k.
+
+    Masks only ever REMOVE corners, so #survivors <= freq_nm[cutoff] <= k
+    guarantees the compaction never overflows capacity."""
+    nbins = freq_nm.shape[-1]
+    t_axis = jnp.arange(nbins, dtype=jnp.float32)
+    fits = (freq_nm <= k) & (t_axis >= jnp.ceil(thresholds)[..., None])
+    has = jnp.any(fits, axis=-1)
+    first = jnp.argmax(fits, axis=-1)
+    cut = jnp.where(has, first, nbins - 1).astype(jnp.float32)
+    return jnp.maximum(cut, thresholds)
+
+
 def topk_corners_blocked(score: jnp.ndarray, k: int,
                          min_score: jnp.ndarray | float = 0.0,
                          block: int = 8):

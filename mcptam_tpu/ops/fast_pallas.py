@@ -111,10 +111,11 @@ def _fast_kernel(img_ref, score_ref, nm_ref, freq_ref, scratch, sem,
     score_ref[0] = score
     nm_ref[0] = nm
 
-    # cumulative histogram: freq[t] = #(score > t - eps) over this tile's
-    # in-image rows (the last tile's padded rows score 0 and would
-    # otherwise inflate bin 0).  Emitted as lane t of row 0 of an (8,128)
-    # tile — the smallest legal f32 VMEM block.
+    # cumulative histograms over this tile's in-image rows: row 0 lane t =
+    # #(score > t - eps), row 1 lane t = #(nm > t - eps) (the latter feeds
+    # the sort-free candidate-cutoff selection).  The last tile's padded
+    # rows score 0 and would otherwise inflate bin 0.  Emitted in an
+    # (8,128) tile — the smallest legal f32 VMEM block.
     inimg = (
         (i * TR + jax.lax.broadcasted_iota(jnp.int32, (TR, Wp), 0) < H)
         & (jax.lax.broadcasted_iota(jnp.int32, (TR, Wp), 1) < W)
@@ -124,17 +125,22 @@ def _fast_kernel(img_ref, score_ref, nm_ref, freq_ref, scratch, sem,
     acc = jnp.zeros((8, 128), jnp.float32)
     for t in range(NBINS):
         cnt = jnp.sum(inimg * (score > (t - 1e-6)).astype(jnp.float32))
-        acc = acc + jnp.where((row == 0) & (lane == t), cnt, 0.0)
+        cnt_nm = jnp.sum(inimg * (nm > (t - 1e-6)).astype(jnp.float32))
+        acc = acc + jnp.where((row == 0) & (lane == t), cnt, 0.0) \
+                  + jnp.where((row == 1) & (lane == t), cnt_nm, 0.0)
     freq_ref[0, 0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fast_frontend(img: jnp.ndarray, interpret: bool = False):
-    """(C,H,W) f32 image -> (score (C,H,W), nm (C,H,W), freq (C,NBINS)).
+    """(C,H,W) f32 image -> (score (C,H,W), nm (C,H,W), freq (C,NBINS),
+    freq_nm (C,NBINS)).
 
     score/nm match ops/fast.py::fast_score_image / nonmax_3x3(score);
     freq[c, t] counts pixels with score > t (the adaptive-threshold
-    histogram).  One fused read-once pass per row tile.
+    histogram) and freq_nm[c, t] the same over the nonmax-suppressed
+    scores (the candidate-cutoff histogram).  One fused read-once pass
+    per row tile.
     """
     C, H, W = img.shape
     TR = min(48, max(8, ((H + 7) // 8) * 8))
@@ -171,7 +177,8 @@ def fast_frontend(img: jnp.ndarray, interpret: bool = False):
         interpret=interpret,
     )(padded)
     return (score[:, :H, :W], nm[:, :H, :W],
-            jnp.sum(freq[:, :, 0, :NBINS], axis=1))
+            jnp.sum(freq[:, :, 0, :NBINS], axis=1),
+            jnp.sum(freq[:, :, 1, :NBINS], axis=1))
 
 
 def fast_frontend_reference(img: jnp.ndarray):
@@ -182,9 +189,14 @@ def fast_frontend_reference(img: jnp.ndarray):
     score = fast_score_image(img)
     nm = nonmax_3x3(score)
     ts = jnp.arange(NBINS, dtype=score.dtype)
-    flat = score.reshape(score.shape[0], -1)
-    freq = jnp.sum(flat[:, None, :] > ts[None, :, None] - 1e-6, axis=-1)
-    return score, nm, freq.astype(jnp.float32)
+
+    def cumfreq(x):
+        flat = x.reshape(x.shape[0], -1)
+        return jnp.sum(
+            flat[:, None, :] > ts[None, :, None] - 1e-6, axis=-1
+        ).astype(jnp.float32)
+
+    return score, nm, cumfreq(score), cumfreq(nm)
 
 
 def fast_frontend_auto(img: jnp.ndarray):

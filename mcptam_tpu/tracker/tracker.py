@@ -172,15 +172,31 @@ def _pair_priority(C: int, N: int) -> jnp.ndarray:
     return h.astype(jnp.float32)
 
 
-def _select_pairs(valid_cn, priority_cn, k):
-    flat_valid = valid_cn.reshape(-1)
-    pri = jnp.where(flat_valid, priority_cn.reshape(-1), -jnp.inf)
-    # approx_max_k uses the TPU-native approximate top-k (much faster than
-    # the full sort); the priority is a hash standing in for the
-    # reference's random PVS shuffle, so approximate selection is exactly
-    # as principled as exact selection here
-    vals, idx = jax.lax.approx_max_k(pri, k, recall_target=0.95)
-    return idx.astype(jnp.int32), vals > -jnp.inf
+def _pair_perm(C: int, N: int) -> jnp.ndarray:
+    """Static permutation of the (C*N) pair grid in hash-priority order —
+    computed on the host once so runtime selection needs no sort."""
+    import numpy as np
+    n = np.arange(N, dtype=np.uint64)
+    c = np.arange(C, dtype=np.uint64)[:, None]
+    h = (n * 2654435761 + c * 40503) & 0xFFFF
+    # descending priority, index as tiebreak (stable) — matches selecting
+    # the top-k of _pair_priority exactly
+    return jnp.asarray(
+        np.argsort(-h.reshape(-1), kind="stable").astype(np.int32)
+    )
+
+
+def _select_pairs(valid_cn, perm, k):
+    """First k valid pairs in the (static) hash-permutation order — the
+    exact top-k of the hash priority, with a cumsum compaction instead of
+    a runtime sort (a TPU top_k instantiates ~3 MB of code and is one of
+    the slowest ops on the chip)."""
+    v = valid_cn.reshape(-1)[perm]
+    rank = jnp.cumsum(v.astype(jnp.int32)) - 1
+    tgt = jnp.where(v & (rank < k), rank, k)
+    idx = jnp.zeros((k + 1,), jnp.int32).at[tgt].set(perm, mode="drop")[:k]
+    n_sel = jnp.minimum(jnp.sum(v.astype(jnp.int32)), k)
+    return idx, jnp.arange(k) < n_sel
 
 
 # ---------------------------------------------------------------------------
@@ -304,19 +320,22 @@ def pose_solve(pose: SE3, ms: MapState, cams, cam_idx, pt_idx, found,
         e = jnp.where(fin[:, None], e, 0.0)
         return Js, e, fin
 
-    Js = e = mask = sigma_sq = None
+    # segment the iteration schedule at the re-linearization points; the
+    # identical linear-update iterations between them run as ONE rolled
+    # fori_loop body each (~3x less generated code than full unrolling)
+    marks = sorted(p for p in reproject_at if p < iterations)
+    bounds = marks + [iterations]
+    segments = [
+        (bounds[i + 1] - bounds[i]) for i in range(len(bounds) - 1)
+        if bounds[i + 1] > bounds[i]
+    ]
+
     H = jnp.eye(6)
     w = jnp.zeros_like(found, jnp.float32)
-    for it in range(iterations):
-        if it in reproject_at:
-            Js, e, mask = full_linearize(pose)
+
+    def gn_iter(carry):
+        pose, Js, e, mask, sigma_sq, _, _ = carry
         err_sq = jnp.sum(e * e, axis=-1)
-        if it in reproject_at:
-            # the MAD sigma is a full sort over K — recompute it only at
-            # re-linearization points (it drifts slowly between them)
-            sigma_sq = jnp.maximum(
-                mest.find_sigma_squared(err_sq, mask), sigma_floor
-            )
         w = mest.weight(mest.TUKEY, err_sq, sigma_sq) * mask
         H = jnp.einsum("k,kiv,kiw->vw", w, Js, Js) + prior * jnp.eye(6)
         b = jnp.einsum("k,kiv,ki->v", w, Js, e)
@@ -324,6 +343,22 @@ def pose_solve(pose: SE3, ms: MapState, cams, cam_idx, pt_idx, found,
         pose = SE3.exp(delta) @ pose
         # linear residual update (ref TrackerData::LinearUpdate)
         e = e - jnp.einsum("kiv,v->ki", Js, delta)
+        return (pose, Js, e, mask, sigma_sq, H, w)
+
+    for seg_len in segments:
+        Js, e, mask = full_linearize(pose)
+        err_sq = jnp.sum(e * e, axis=-1)
+        # the MAD sigma is a full sort over K — recompute it only at
+        # re-linearization points (it drifts slowly between them)
+        sigma_sq = jnp.maximum(
+            mest.find_sigma_squared(err_sq, mask), sigma_floor
+        )
+        carry = gn_iter((pose, Js, e, mask, sigma_sq, H, w))
+        if seg_len > 1:
+            carry = jax.lax.fori_loop(
+                0, seg_len - 1, lambda _, c: gn_iter(c), carry
+            )
+        pose, _, _, _, _, H, w = carry
 
     # final residuals for outlier marking
     uv, proj_ok, _, _ = _pair_jacobian(cams, ms.cam_from_base, pose, pos_w, cam_idx)
@@ -334,7 +369,7 @@ def pose_solve(pose: SE3, ms: MapState, cams, cam_idx, pt_idx, found,
 def robust_mean_depth(p_cam_z, mask):
     """Huber-robust mean depth (ref RefreshSceneDepth via tracker,
     src/Tracker.cc:1180-1228)."""
-    med = mest.masked_median(p_cam_z, mask)
+    med = mest.masked_median_bisect(p_cam_z, mask)
     d_sq = (p_cam_z - med[..., None]) ** 2
     sig = jnp.maximum(mest.find_sigma_squared(d_sq, mask), 0.4)
     w = jnp.sqrt(mest.weight(mest.HUBER, d_sq, sig[..., None])) * mask
@@ -366,12 +401,12 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
     v6 = jnp.where(have_rot, v6.at[3:].set(sbi_rot), v6)
     pose_pred = SE3.exp(v6) @ ts.pose
 
-    priority = _pair_priority(C, N)
+    perm = _pair_perm(C, N)
 
     # ---- 2+3. coarse stage (levels >= 2, 60 pts, 30 px)
     pvs = compute_pvs(ms, cams, pose_pred)
     coarse_valid = pvs["valid"] & (pvs["level"] >= 2)
-    c_idx, c_ok = _select_pairs(coarse_valid, priority, tcfg.coarse_max)
+    c_idx, c_ok = _select_pairs(coarse_valid, perm, tcfg.coarse_max)
     c_cam = (c_idx // N).astype(jnp.int32)
     c_pt = (c_idx % N).astype(jnp.int32)
     c_uv = pvs["uv"].reshape(-1, 2)[c_idx]
@@ -401,7 +436,7 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
     # does (FindPVS, src/Tracker.cc:663) — and only the predicted image
     # positions of the SELECTED pairs are re-projected under the
     # coarse-refined pose (TrackerData::Project re-runs per stage).
-    f_idx, f_ok = _select_pairs(pvs["valid"], priority, tcfg.max_patches_per_frame)
+    f_idx, f_ok = _select_pairs(pvs["valid"], perm, tcfg.max_patches_per_frame)
     f_cam = (f_idx // N).astype(jnp.int32)
     f_pt = (f_idx % N).astype(jnp.int32)
     f_warp = pvs["warp"].reshape(-1, 2, 2)[f_idx]

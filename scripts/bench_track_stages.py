@@ -24,7 +24,7 @@ feats = jax.jit(make_frame_features)(img)
 jax.block_until_ready(feats.atlas)
 ts0 = T.create_tracker_state(C)
 N = ms.points.capacity
-pri = T._pair_priority(C, N)
+pri = T._pair_perm(C, N)
 
 
 def bench_chain(name, fn, x0, n=30):

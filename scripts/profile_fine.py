@@ -64,7 +64,7 @@ bench("feats total", make_frame_features, images)
 pose = SE3.identity()
 pvs = bench("compute_pvs", T.compute_pvs, ms, cams, pose)
 N = ms.points.capacity
-pri = T._pair_priority(C, N)
+pri = T._pair_perm(C, N)
 
 def fine_select(pvs):
     f_idx, f_ok = T._select_pairs(pvs["valid"], pri, tcfg.max_patches_per_frame)
