@@ -40,7 +40,7 @@ from mcptam_tpu.core.se3 import SE3
 from mcptam_tpu.core.camera import (
     CameraModel, project, projection_derivs_sphere, cam_sphere_deriv,
 )
-from mcptam_tpu.core import mest
+from mcptam_tpu.core import mest, linalg
 
 
 @struct.dataclass
@@ -197,7 +197,7 @@ def _solve_delta(prob: BundleProblem, e, Ja, Jb, Jl, w, lam):
     Hpp = Hpp.at[diag_idx, diag_idx].add(lam * (Udiag * eyeP) + 1e-8 * eyeP)
     Vd = V + lam * (V * eyeL) + 1e-8 * eyeL
 
-    Vinv = jnp.linalg.inv(Vd) * prob.movable_pt[:, None, None]
+    Vinv = linalg.inv3(Vd) * prob.movable_pt[:, None, None]
 
     # Schur: S = Hpp - W Vinv W^T ; b_s = b_p - W Vinv b_l
     T = jnp.einsum("plvw,lwx->plvx", W, Vinv)              # (P,L,6,3)
@@ -340,7 +340,7 @@ def point_depth_covariance(prob: BundleProblem, st: LMState,
     V = jnp.zeros((L, 3, 3)).at[prob.m_point].add(
         jnp.einsum("k,kiv,kiw->kvw", w, Jl, Jl)
     )
-    Vinv = jnp.linalg.inv(V + 1e-6 * jnp.eye(3))
+    Vinv = linalg.inv3(V + 1e-6 * jnp.eye(3))
     # radial direction: from first-observing camera to point — approximate
     # with the point's bearing from the origin-most pose_a; use unit pos
     # relative to its source pose_a translation

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from mcptam_tpu.config import PATCH_SIZE
 from mcptam_tpu.core.levels import level_n_pos, level_zero_pos
+from mcptam_tpu.core.linalg import inv3
 from mcptam_tpu.ops.atlas import level_xoff_array, level_size_arrays, _level0_width_from_atlas
 from mcptam_tpu.ops.patch import MAX_SSD, PACK_CORNER, HALF, _SUBPIX_PAD
 
@@ -54,9 +55,12 @@ def _gather_plane(plane2d, rows, cols, G: int):
     if _use_pallas() and plane2d.dtype == jnp.float32:
         from mcptam_tpu.ops.pallas_gather import gather_windows_pallas
         K = rows.shape[0]
-        block = 128 if K % 128 == 0 else (64 if K % 64 == 0 else None)
-        if block is not None:
-            return gather_windows_pallas(plane2d, rows, cols, G, block)
+        block = 128 if K >= 128 else 64
+        pad = (-K) % block
+        if pad:  # e.g. the 1000-pair fine stage: pad, gather, slice back
+            rows = jnp.concatenate([rows, jnp.zeros(pad, rows.dtype)])
+            cols = jnp.concatenate([cols, jnp.zeros(pad, cols.dtype)])
+        return gather_windows_pallas(plane2d, rows, cols, G, block)[:K]
 
     def per(r, c):
         return jax.lax.dynamic_slice(plane2d, (r, c), (G, G))
@@ -318,7 +322,7 @@ def _subpix_iterate(winT, win_ok, level_hw, search_level, templates, pos_l0,
     ones = jnp.ones_like(gx)
     J = jnp.stack([gx, gy, ones], axis=-1).reshape(K, -1, 3)
     Hm = jnp.einsum("kni,knj->kij", J, J) + 1e-6 * jnp.eye(3)
-    Hinv = jnp.linalg.inv(Hm)
+    Hinv = inv3(Hm)
 
     P = _SUBPIX_PAD
     WSZ = PATCH_SIZE + 1 + 2 * P

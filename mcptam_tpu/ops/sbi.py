@@ -22,6 +22,7 @@ from mcptam_tpu.core.camera import (
     CameraModel, project, projection_derivs_sphere, unproject, cam_sphere_deriv,
 )
 from mcptam_tpu.core.se3 import so3_exp
+from mcptam_tpu.core.linalg import solve_spd
 
 ROWS, COLS = SBI_SIZE
 CENTER = (COLS // 2, ROWS // 2)  # (x, y) = (20, 15)
@@ -127,7 +128,7 @@ def esm_align(cur_template, target_template, target_gx, target_gy,
         Jf = J.reshape(-1, 4)
         H = Jf.T @ Jf
         b = Jf.T @ diff.reshape(-1)
-        upd = jnp.linalg.solve(H + 1e-6 * jnp.eye(4), b)
+        upd = solve_spd(H + 1e-6 * jnp.eye(4), b)
         score = jnp.sum(diff * diff)
 
         dth = -upd[2]
@@ -184,7 +185,7 @@ def se3_from_se2(se2, cam_src_sbi: CameraModel, cam_target_sbi: CameraModel):
         Jf = Jg.reshape(-1, 3)
         ef = err.reshape(-1)
         H = Jf.T @ Jf + 10.0 * jnp.eye(3)  # prior 10 as in reference
-        mu = jnp.linalg.solve(H, Jf.T @ ef)
+        mu = solve_spd(H, Jf.T @ ef)
         return so3_exp(mu) @ R
 
     R0 = jnp.eye(3)

@@ -35,6 +35,7 @@ from mcptam_tpu.core.camera import (
     CameraModel, project, projection_derivs_sphere, cam_sphere_deriv,
 )
 from mcptam_tpu.core import mest
+from mcptam_tpu.core.linalg import solve_spd
 from mcptam_tpu.map.state import MapState
 from mcptam_tpu.map.keyframe import FrameFeatures
 from mcptam_tpu.ops.patch import (
@@ -339,7 +340,7 @@ def pose_solve(pose: SE3, ms: MapState, cams, cam_idx, pt_idx, found,
         w = mest.weight(mest.TUKEY, err_sq, sigma_sq) * mask
         H = jnp.einsum("k,kiv,kiw->vw", w, Js, Js) + prior * jnp.eye(6)
         b = jnp.einsum("k,kiv,ki->v", w, Js, e)
-        delta = jnp.linalg.solve(H, b)
+        delta = solve_spd(H, b)
         pose = SE3.exp(delta) @ pose
         # linear residual update (ref TrackerData::LinearUpdate)
         e = e - jnp.einsum("kiv,v->ki", Js, delta)
