@@ -9,18 +9,35 @@ float32 in [0,255].
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from mcptam_tpu.config import LEVELS
+
+
+def _stride2(img: jnp.ndarray, row_off: int, col_off: int) -> jnp.ndarray:
+    """Stride-2 corner tap as an explicit ``lax.slice``.
+
+    ``img[..., 0::2, 0::2]`` traces to a *gather* (jnp's take path), and
+    once the hoisted index tensors sit behind a ``lax.scan`` boundary XLA
+    can no longer pattern-match it back to a strided slice — it materializes
+    a transposed copy of the full image and runs 4 serial gathers (~2 ms per
+    VGA frame on v5e).  ``lax.slice`` keeps it a real strided slice."""
+    nd = img.ndim
+    H, W = img.shape[-2], img.shape[-1]
+    start = [0] * (nd - 2) + [row_off, col_off]
+    limit = list(img.shape[:-2]) + [H, W]
+    strides = [1] * (nd - 2) + [2, 2]
+    return lax.slice(img, start, limit, strides)
 
 
 def half_sample(img: jnp.ndarray) -> jnp.ndarray:
     """2x2 average downsample of (...,H,W) -> (...,H//2,W//2)."""
     H, W = img.shape[-2], img.shape[-1]
     img = img[..., : H - H % 2, : W - W % 2]
-    a = img[..., 0::2, 0::2]
-    b = img[..., 0::2, 1::2]
-    c = img[..., 1::2, 0::2]
-    d = img[..., 1::2, 1::2]
+    a = _stride2(img, 0, 0)
+    b = _stride2(img, 0, 1)
+    c = _stride2(img, 1, 0)
+    d = _stride2(img, 1, 1)
     return (a + b + c + d) * 0.25
 
 

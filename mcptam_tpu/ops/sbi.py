@@ -31,10 +31,26 @@ DEFAULT_BLUR = 2.5
 
 def make_sbi(img_l0: jnp.ndarray) -> jnp.ndarray:
     """(…,H,W) level-0 image -> (…,30,40) zero-mean blurred template
-    (ref MakeFromKF, src/SmallBlurryImage.cc:67-95)."""
-    small = jax.image.resize(
-        img_l0, img_l0.shape[:-2] + (ROWS, COLS), method="linear"
-    )
+    (ref MakeFromKF, src/SmallBlurryImage.cc:67-95).
+
+    Downsampling is a chain of 2x2 box half-samples (VGA: exactly four),
+    not ``jax.image.resize``: the resize's dot-generals force XLA to keep
+    a transposed copy of the full-resolution image, which in turn lowers
+    the pyramid's strided slices as serial gathers (~2 ms/frame on v5e).
+    The half-sample chain is CSE'd with the pyramid itself, and the heavy
+    sigma-2.5 blur below makes box-vs-triangle filtering immaterial."""
+    from mcptam_tpu.ops.pyramid import half_sample
+
+    small = img_l0
+    while (
+        small.shape[-2] % 2 == 0 and small.shape[-2] // 2 >= ROWS
+        and small.shape[-1] % 2 == 0 and small.shape[-1] // 2 >= COLS
+    ):
+        small = half_sample(small)
+    if small.shape[-2:] != (ROWS, COLS):  # non-power-of-two fallback
+        small = jax.image.resize(
+            small, small.shape[:-2] + (ROWS, COLS), method="linear"
+        )
     mean = jnp.mean(small, axis=(-2, -1), keepdims=True)
     centered = small - mean
     from mcptam_tpu.ops.pyramid import gaussian_blur_3

@@ -69,3 +69,76 @@ for name, hs in [("strided", hs_strided), ("reshape", hs_reshape),
     ref = np.asarray(jax.jit(hs_strided)(img))
     got = np.asarray(jax.jit(hs)(img))
     print(f"  max|diff| = {np.abs(ref - got).max():.2e}", flush=True)
+
+
+# --- context test: does adding the SBI resize force gather lowering? ---
+def with_resize(hs):
+    def f(a):
+        p1 = hs(a)
+        p2 = hs(p1)
+        p3 = hs(p2)
+        small = jax.image.resize(a, a.shape[:-2] + (30, 40), method="linear")
+        return p1.sum() + p2.sum() + p3.sum() + small.sum()
+    return f
+
+print("-- with jax.image.resize in the graph --", flush=True)
+bench("strided+resize", with_resize(hs_strided), img)
+bench("matmul+resize", with_resize(hs_matmul), img)
+
+
+def resize_mm(a):
+    import numpy as np2
+    def wmat(n_in, n_out):
+        s = n_in / n_out
+        j = np2.arange(n_in)[:, None]
+        i = np2.arange(n_out)[None, :]
+        w = np2.maximum(0.0, 1.0 - np2.abs((j + 0.5) / s - (i + 0.5)))
+        w = w / w.sum(axis=0, keepdims=True)
+        return jnp.asarray(w, jnp.float32)
+    Wh = wmat(a.shape[-2], 30)   # (480,30)
+    Ww = wmat(a.shape[-1], 40)   # (640,40)
+    y = a @ Ww                                  # (...,480,40)
+    return jnp.einsum("hr,...hw->...rw", Wh, y)  # (...,30,40)
+
+ref = jax.image.resize(img, (C, 30, 40), method="linear")
+got = resize_mm(img)
+print("resize_mm vs jax.image.resize max|diff| =",
+      float(jnp.max(jnp.abs(ref - got))), "scale", float(jnp.max(jnp.abs(ref))), flush=True)
+
+def with_resize_mm(hs):
+    def f(a):
+        p1 = hs(a); p2 = hs(p1); p3 = hs(p2)
+        return p1.sum() + p2.sum() + p3.sum() + resize_mm(a).sum()
+    return f
+
+print("-- with matmul resize in the graph --", flush=True)
+bench("strided+resize_mm", with_resize_mm(hs_strided), img)
+
+
+def resize_mm2(a):
+    import numpy as np2
+    def wmat(n_in, n_out):
+        s = n_in / n_out
+        j = np2.arange(n_in)[:, None]
+        i = np2.arange(n_out)[None, :]
+        w = np2.maximum(0.0, 1.0 - np2.abs((j + 0.5) / s - (i + 0.5)))
+        w = w / w.sum(axis=0, keepdims=True)
+        return jnp.asarray(w, jnp.float32)
+    Wh = wmat(a.shape[-2], 30)   # (480,30)
+    Ww = wmat(a.shape[-1], 40)   # (640,40)
+    y = a @ Ww                          # (...,480,40) natural-layout matmul
+    yT = jnp.swapaxes(y, -1, -2)        # (...,40,480) small explicit transpose
+    s = yT @ Wh                         # (...,40,30)
+    return jnp.swapaxes(s, -1, -2)      # (...,30,40)
+
+ref = jax.image.resize(img, (C, 30, 40), method="linear")
+print("resize_mm2 max|diff| =", float(jnp.max(jnp.abs(ref - resize_mm2(img)))), flush=True)
+
+def with_resize_mm2(hs):
+    def f(a):
+        p1 = hs(a); p2 = hs(p1); p3 = hs(p2)
+        return p1.sum() + p2.sum() + p3.sum() + resize_mm2(a).sum()
+    return f
+
+print("-- with small-transpose matmul resize --", flush=True)
+bench("strided+resize_mm2", with_resize_mm2(hs_strided), img)
