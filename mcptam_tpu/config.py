@@ -88,6 +88,7 @@ class TrackerConfig:
     tracking_prior: float = 100.0  # WLS prior (reference src/Tracker.cc:1391)
     mest_sigma_min: float = 0.4    # min sigma-squared floor
     use_sbi_rotation: bool = True  # SBI-ESM rotation in the motion model
+    use_pallas_esm: bool = False   # fused Pallas ESM kernel (ops/sbi_pallas)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -104,16 +104,28 @@ class TrackResult:
 # ---------------------------------------------------------------------------
 
 def calc_sbi_rotation(ts: TrackerState, feats: FrameFeatures,
-                      cams_sbi: CameraModel, cam_from_base: SE3):
+                      cams_sbi: CameraModel, cam_from_base: SE3,
+                      use_pallas: bool = False):
     """Per-camera ESM prev->cur rotation, averaged in the base frame
     (ref CalcSBIRotation, src/Tracker.cc:1687-1749).  Returns (w (3,),
     valid)."""
     C = feats.sbi.shape[0]
 
-    def per_cam(c):
-        se2, score = esm_align(
-            ts.sbi_prev[c], feats.sbi[c], feats.sbi_gx[c], feats.sbi_gy[c],
+    if use_pallas:
+        from mcptam_tpu.ops.sbi_pallas import esm_align_all
+        se2_all, _ = esm_align_all(
+            ts.sbi_prev, feats.sbi, feats.sbi_gx, feats.sbi_gy
         )
+    else:
+        se2_all = None
+
+    def per_cam(c):
+        if use_pallas:
+            se2 = tuple(se2_all[c, i] for i in range(4))
+        else:
+            se2, score = esm_align(
+                ts.sbi_prev[c], feats.sbi[c], feats.sbi_gx[c], feats.sbi_gy[c],
+            )
         cam_c = jax.tree_util.tree_map(lambda a: a[c], cams_sbi)
         R = se3_from_se2(se2, cam_c, cam_c)
         # se3_from_se2: v_src = R @ v_target with src=prev, target=cur
@@ -394,7 +406,8 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
     # ---- 1. motion model
     if getattr(tcfg, "use_sbi_rotation", True):
         sbi_rot, have_rot = calc_sbi_rotation(
-            ts, feats, cams_sbi, ms.cam_from_base
+            ts, feats, cams_sbi, ms.cam_from_base,
+            use_pallas=getattr(tcfg, "use_pallas_esm", False),
         )
     else:
         sbi_rot, have_rot = jnp.zeros(3), jnp.zeros((), bool)
