@@ -21,6 +21,11 @@ import jax  # noqa: E402
 # env var above — force CPU through the config API, which wins.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: most of the suite's wall time is jit
+# compiles of the same tracker/mapmaker programs across test modules.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
