@@ -86,6 +86,22 @@ def shard_map_points(mesh: Mesh, ms):
     return jax.tree_util.tree_map_with_path(spec_for, ms)
 
 
+def sharded_frame_features(mesh: Mesh, images):
+    """jit make_frame_features with the image ROW axis sharded over devices
+    (the spatial-parallel axis: pyramid half-sampling, FAST scoring and
+    nonmax are row-local with small halos, which XLA exchanges over ICI
+    via collective-permutes).  The per-camera axis stays untouched so this
+    composes with any rig size; corner/candidate reductions all-gather.
+
+    Returns (fn, sharded_images)."""
+    from mcptam_tpu.map.keyframe import make_frame_features
+
+    img_sharding = _spec(mesh, None, AXIS, None)  # (C, H, W): shard H
+    images = jax.device_put(images, img_sharding)
+    fn = jax.jit(make_frame_features, in_shardings=(img_sharding,))
+    return fn, images
+
+
 def sharded_track_frame(mesh: Mesh, ms, cams, cams_sbi, tcfg):
     """jit track_frame with the map's point arrays sharded over devices:
     the PVS projection and pair search parallelize over chips, and the
