@@ -121,6 +121,11 @@ class MapMakerConfig:
     # epipolar search
     epi_max_hypotheses: int = 64   # arc samples (ref steps arc at ~3px)
     max_new_points_per_level: tuple = (100, 100, 100, 100)
+    # runtime-mutable GUI variables in the reference (GVars3,
+    # src/System.cc:114-131): epipolar partner = other camera vs temporal
+    # same-camera; whether level-0 candidates become map points
+    cross_camera: bool = True
+    level_zero_points: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

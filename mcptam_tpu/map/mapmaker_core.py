@@ -121,13 +121,17 @@ def record_tracker_measurements(ms: MapState, mkf_idx, result):
 def integrate_mkf(ms: MapState, cams: CameraModel, feats: FrameFeatures,
                   base_pose: SE3, tracker_result=None,
                   mcfg: MapMakerConfig = DEFAULT_MAPMAKER,
-                  cap_per_level: int = 32):
+                  cap_per_level: int = 32, cam_active=None):
     """Integrate a new tracker MKF: commit imagery + tracker measurements,
     refind existing points in it, then create new stereo points from its
     candidates, coarse levels first (AddMultiKeyFrameAndCreatePoints,
-    src/MapMakerServerBase.cc:346-404)."""
+    src/MapMakerServerBase.cc:346-404).
+
+    cam_active: optional (C,) bool — dropped cameras become invalid KFs of
+    this MKF (the reference prunes inactive KFs from incoming MKFs,
+    src/MapMakerClientBase.cc:229-247)."""
     C = ms.cam_from_base.t.shape[0]
-    ms, mkf_idx, ok = commit_mkf(ms, feats, base_pose)
+    ms, mkf_idx, ok = commit_mkf(ms, feats, base_pose, kf_valid=cam_active)
 
     if tracker_result is not None:
         ms = record_tracker_measurements(ms, mkf_idx, tracker_result)
@@ -140,15 +144,21 @@ def integrate_mkf(ms: MapState, cams: CameraModel, feats: FrameFeatures,
     # new points: candidates not already near an existing measurement
     # (reference thins candidates near existing measurements, :411-447 —
     # approximated here by the refind pass already claiming those corners)
-    for level in range(LEVELS - 1, -1, -1):
+    min_level = 0 if getattr(mcfg, "level_zero_points", True) else 1
+    cross_cam = getattr(mcfg, "cross_camera", True)
+    for level in range(LEVELS - 1, min_level - 1, -1):
         for c in range(C):
             xy, want = _level_candidates(feats, c, level, cap_per_level)
             Q = xy.shape[0]
             cam_arr = jnp.full((Q,), c, jnp.int32)
             lvl_arr = jnp.full((Q,), level, jnp.int32)
-            if C > 1:
+            if cam_active is not None:
+                want = want & cam_active[c]
+            if C > 1 and cross_cam:
                 tgt_cam = jnp.full((Q,), (c + 1) % C, jnp.int32)
                 tgt_mkf = jnp.broadcast_to(mkf_idx, (Q,))
+                if cam_active is not None:
+                    want = want & cam_active[(c + 1) % C]
             else:
                 # temporal stereo against the previous MKF, same camera
                 prev = jnp.argmax(

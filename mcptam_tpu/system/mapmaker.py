@@ -74,10 +74,10 @@ class MapMaker:
         self._reset_ba()
         return ms
 
-    def add_mkf(self, feats, pose, tracker_result):
+    def add_mkf(self, feats, pose, tracker_result, cam_active=None):
         """Queue an MKF; preempts BA at the next chunk (ref AddMultiKeyFrame
         + abort flag, src/MapMaker.cc:329-363)."""
-        self.queue.append((feats, pose, tracker_result))
+        self.queue.append((feats, pose, tracker_result, cam_active))
 
     def queue_size(self):
         return len(self.queue)
@@ -111,9 +111,10 @@ class MapMaker:
                 # two-step AdjustAndUpdate applies partial progress too)
                 ms = writeback(ms, self._ba_prob, self._ba_state)
             self._reset_ba()
-            feats, pose, result = self.queue.pop(0)
+            feats, pose, result, cam_active = self.queue.pop(0)
             ms, _ = integrate_mkf(
-                ms, self.cams, feats, pose, result, self.mcfg
+                ms, self.cams, feats, pose, result, self.mcfg,
+                cam_active=cam_active,
             )
             self.last_timing = MapMakerTiming(
                 elapsed=time.perf_counter() - t0, kind="creation",

@@ -247,8 +247,8 @@ class MapMakerClient:
                 self._apply_state(d)
         raise TimeoutError("server did not answer INIT")
 
-    def add_mkf(self, feats, pose, tracker_result):
-        self.queue.append((feats, pose, tracker_result))
+    def add_mkf(self, feats, pose, tracker_result, cam_active=None):
+        self.queue.append((feats, pose, tracker_result, cam_active))
 
     def queue_size(self):
         return len(self.queue)
@@ -284,13 +284,15 @@ class MapMakerClient:
         # 1. forward one queued MKF: commit imagery locally (same slot the
         # server will use), record tracker measurements, ship it
         if self.queue:
-            feats, pose, result = self.queue.pop(0)
-            ms, mkf_idx, ok = commit_mkf(ms, feats, pose)
+            feats, pose, result, cam_active = self.queue.pop(0)
+            ms, mkf_idx, ok = commit_mkf(ms, feats, pose, kf_valid=cam_active)
             if result is not None:
                 ms = record_tracker_measurements(ms, mkf_idx, result)
             d = feats_to_arrays(feats, pose)
             if result is not None:
                 d.update(result_to_arrays(result))
+            if cam_active is not None:
+                d["cam_active"] = np.asarray(cam_active)
             self.channel.send(ACTION_ADD, d)
 
         # 2. drain server messages
@@ -347,7 +349,10 @@ class MapServer:
         elif action == ACTION_ADD:
             feats, pose = arrays_to_feats(d)
             result = _ResultView(d) if "sel_point" in d else None
-            self.mapmaker.add_mkf(feats, pose, result)
+            cam_active = (
+                jnp.asarray(d["cam_active"]) if "cam_active" in d else None
+            )
+            self.mapmaker.add_mkf(feats, pose, result, cam_active=cam_active)
             self.mapmaker.on_map_changed()
         elif action == ACTION_DELETE:
             bad_idx = jnp.asarray(d["points"])

@@ -76,27 +76,83 @@ class System:
         self.frame_count = 0
         self._t_last = None
 
+        # runtime-mutable variables (the reference's GVars3 GUI variables,
+        # src/System.cc:114-131); set_var re-jits where the flag is baked in
+        self.vars = {
+            "DrawLevel": 0,
+            "GlareMasking": False,
+            "AddingMKFs": True,
+            "CrossCamera": mcfg.cross_camera,
+            "LevelZeroPoints": mcfg.level_zero_points,
+        }
+
         # jit the per-frame kernels once; static feature-exclusion masks
         # (ref SystemBase mask loading, src/SystemBase.cc:218-248) are
         # baked into the features kernel
-        static_masks = None if masks is None else jnp.asarray(masks, bool)
-        self._feats_fn = jax.jit(
-            lambda images: make_frame_features(images, static_masks=static_masks)
-        )
+        self._static_masks = None if masks is None else jnp.asarray(masks, bool)
+        self._build_feats_fn()
         self._track_fn = jax.jit(
-            lambda ts, ms, feats: track_frame(
-                ts, ms, self.cams, self.cams_sbi, feats, self.tcfg
+            lambda ts, ms, feats, cam_active: track_frame(
+                ts, ms, self.cams, self.cams_sbi, feats, self.tcfg,
+                cam_active=cam_active,
             )
         )
         self._stats_fn = jax.jit(apply_tracker_point_stats)
+        self._last_result = None
         from mcptam_tpu.ops.minipatch import filter_frame_candidates
         self._cand_filter_fn = jax.jit(filter_frame_candidates)
         self._prev_feats = None
         self._reloc_fn = jax.jit(
-            lambda ms, feats: attempt_recovery(ms, self.cams_sbi, feats)
+            lambda ms, feats, cam_active: attempt_recovery(
+                ms, self.cams_sbi, feats, cam_active=cam_active
+            )
         )
 
     # ------------------------------------------------------------------
+    def _build_feats_fn(self):
+        masks = self._static_masks
+        glare = bool(self.vars["GlareMasking"])
+        self._feats_fn = jax.jit(
+            lambda images: make_frame_features(
+                images, static_masks=masks, glare_masking=glare
+            )
+        )
+
+    def set_var(self, name: str, value):
+        """Runtime-mutable variable (GVars3 analogue, src/System.cc:114-131).
+
+        DrawLevel: small-image pyramid level; GlareMasking: re-jits the
+        feature kernel; AddingMKFs: gates keyframe creation; CrossCamera /
+        LevelZeroPoints: epipolar point-creation policy for future MKFs."""
+        if name not in self.vars:
+            raise KeyError(f"unknown var {name!r}; have {sorted(self.vars)}")
+        self.vars[name] = value
+        if name == "GlareMasking":
+            self._build_feats_fn()
+        elif name in ("CrossCamera", "LevelZeroPoints"):
+            import dataclasses
+            self.mcfg = dataclasses.replace(
+                self.mcfg,
+                cross_camera=bool(self.vars["CrossCamera"]),
+                level_zero_points=bool(self.vars["LevelZeroPoints"]),
+            )
+            self.mapmaker.mcfg = self.mcfg
+
+    def get_var(self, name: str):
+        return self.vars[name]
+
+    def small_image(self, level: int | None = None):
+        """Tiled monitor image of the last processed frame with found
+        measurements (ref PublishSmallImage, SystemFrontendBase.cc:280-346).
+        Returns (H,W,3) uint8 or None before the first frame."""
+        if self._prev_feats is None:
+            return None
+        from mcptam_tpu.system.viewer import frame_small_image
+        return frame_small_image(
+            self._prev_feats, self._last_result,
+            self.vars["DrawLevel"] if level is None else level,
+        )
+
     def reset(self, keep_pose: bool = False):
         """Full system reset (ref Reset service, srv/Reset.srv)."""
         pose = self.ts.pose if keep_pose else SE3.identity()
@@ -110,11 +166,19 @@ class System:
         self.mapmaker.reset(self.ms)
         self.initialized = False
 
-    def process_frame(self, images) -> FrameInfo:
-        """images: (C,H,W) array-like uint8/float."""
+    def process_frame(self, images, cam_active=None) -> FrameInfo:
+        """images: (C,H,W) array-like uint8/float.
+
+        cam_active: optional (C,) bool — which cameras delivered this frame
+        (sensor dropout is tolerated structurally, as in the reference:
+        frames may contain any camera subset, src/Tracker.cc:286-316)."""
         sw = Stopwatch()
         timing = TrackerTiming()
         images = jnp.asarray(images, jnp.float32)
+        cam_active = (
+            jnp.ones((self.n_cams,), bool) if cam_active is None
+            else jnp.asarray(cam_active, bool)
+        )
         feats = self._feats_fn(images)
         timing.kf_downsample = sw.lap()
 
@@ -127,11 +191,11 @@ class System:
             self.initialized = True
             self.mapmaker.on_map_changed()
 
-        self.ts, res = self._track_fn(self.ts, self.ms, feats)
+        self.ts, res = self._track_fn(self.ts, self.ms, feats, cam_active)
         timing.fine = sw.lap()
 
         if bool(res.lost):
-            pose, ok, score = self._reloc_fn(self.ms, feats)
+            pose, ok, score = self._reloc_fn(self.ms, feats, cam_active)
             if bool(ok):
                 self.ts = self.ts.replace(
                     pose=pose, vel=jnp.zeros(6),
@@ -144,7 +208,8 @@ class System:
         # MKF-add heuristics (ref src/Tracker.cc:468-488): good quality,
         # map maker idle, far enough from the nearest keyframe
         if (
-            int(res.quality) == QUALITY_GOOD
+            self.vars["AddingMKFs"]
+            and int(res.quality) == QUALITY_GOOD
             and not bool(res.lost)
             and self.mapmaker.queue_size() == 0
         ):
@@ -157,7 +222,9 @@ class System:
                 mk_feats = feats
                 if self._prev_feats is not None:
                     mk_feats = self._cand_filter_fn(self._prev_feats, feats)
-                self.mapmaker.add_mkf(mk_feats, res.pose, res)
+                self.mapmaker.add_mkf(
+                    mk_feats, res.pose, res, cam_active=cam_active
+                )
                 added = True
         timing.add = sw.lap()
 
@@ -178,6 +245,7 @@ class System:
 
         self.frame_count += 1
         self._prev_feats = feats
+        self._last_result = res
         pose34 = np.concatenate(
             [np.asarray(res.pose.R), np.asarray(res.pose.t)[:, None]], axis=1
         )

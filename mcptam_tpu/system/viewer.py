@@ -118,3 +118,38 @@ def export_ply(path: str, ms: MapState, trajectory=None):
         for p in traj:
             f.write(f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f} 255 0 255\n")
     return n
+
+
+def frame_small_image(feats, result=None, level: int = 2) -> np.ndarray:
+    """Tiled per-camera monitor image at a pyramid level, with the current
+    frame's found measurements overlaid — the remote-monitoring small image
+    (ref SystemFrontendBase::PublishSmallImage, two-column tiling,
+    src/SystemFrontendBase.cc:280-346).  Returns (Ht,Wt,3) uint8."""
+    from mcptam_tpu.config import LEVELS
+    from mcptam_tpu.ops.atlas import atlas_xoff, level_dims, _level0_width_from_atlas
+
+    atlas = np.asarray(feats.atlas)
+    C, H = atlas.shape[0], atlas.shape[1]
+    W = _level0_width_from_atlas(atlas.shape[2])
+    level = int(level) % LEVELS
+    h, w = level_dims(H, W, level)
+    xoff = atlas_xoff(W)[level]
+    scale = 1 << level
+
+    cols = 2 if C > 1 else 1
+    rows = -(-C // cols)
+    tiled = np.zeros((rows * h, cols * w, 3), np.uint8)
+    for c in range(C):
+        img = np.clip(atlas[c, :h, xoff:xoff + w], 0, 255).astype(np.uint8)
+        r0, c0 = (c // cols) * h, (c % cols) * w
+        tiled[r0:r0 + h, c0:c0 + w] = img[..., None]
+
+    if result is not None:
+        found = np.asarray(result.sel_found)
+        cam = np.asarray(result.sel_cam)[found]
+        lvl = np.asarray(result.sel_level)[found]
+        uv = np.asarray(result.sel_pos_l0)[found] / scale
+        for (x, y), c, l in zip(uv, cam, lvl):
+            r0, c0 = (int(c) // cols) * h, (int(c) % cols) * w
+            _draw_cross(tiled, c0 + x, r0 + y, LEVEL_COLORS[int(l) % LEVELS], r=1)
+    return tiled

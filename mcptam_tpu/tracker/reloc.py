@@ -24,7 +24,8 @@ RECOVERY_MAX_SCORE = 9e5  # ref sdRecoveryMaxScore=1e5 (byte images);
 
 def attempt_recovery(ms: MapState, cams_sbi: CameraModel,
                      feats: FrameFeatures,
-                     max_score: float = RECOVERY_MAX_SCORE):
+                     max_score: float = RECOVERY_MAX_SCORE,
+                     cam_active=None):
     """Try to relocalize against the keyframe store.
 
     Returns (pose: SE3 base_from_world, success: bool, best_score).
@@ -38,6 +39,9 @@ def attempt_recovery(ms: MapState, cams_sbi: CameraModel,
     cur = feats.sbi[None, :, :, :]
     scores = sbi_zmssd(cur, ms.mkfs.sbi)
     valid = ms.mkfs.valid[:, None] & ms.mkfs.kf_valid
+    if cam_active is not None:
+        # a dropped camera's current SBI is stale — exclude it
+        valid = valid & cam_active[None, :]
     scores = jnp.where(valid, scores, jnp.inf)
 
     flat_best = jnp.argmin(scores.reshape(-1))

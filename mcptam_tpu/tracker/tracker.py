@@ -105,7 +105,7 @@ class TrackResult:
 
 def calc_sbi_rotation(ts: TrackerState, feats: FrameFeatures,
                       cams_sbi: CameraModel, cam_from_base: SE3,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, cam_active=None):
     """Per-camera ESM prev->cur rotation, averaged in the base frame
     (ref CalcSBIRotation, src/Tracker.cc:1687-1749).  Returns (w (3,),
     valid)."""
@@ -136,9 +136,15 @@ def calc_sbi_rotation(ts: TrackerState, feats: FrameFeatures,
         return Rcb.T @ R_cur_from_prev @ Rcb
 
     Rs = jax.vmap(per_cam)(jnp.arange(C))
-    mask = jnp.ones((C,))
+    # dropped cameras contribute no rotation vote (frames may contain any
+    # camera subset, ref src/Tracker.cc:286-316)
+    mask = (
+        jnp.ones((C,)) if cam_active is None
+        else cam_active.astype(jnp.float32)
+    )
     R_mean = geodesic_rotation_mean(Rs, mask)
-    return so3_ln(R_mean), ts.have_prev
+    have = ts.have_prev & (jnp.sum(mask) > 0)
+    return so3_ln(R_mean), have
 
 
 # ---------------------------------------------------------------------------
@@ -398,16 +404,24 @@ def robust_mean_depth(p_cam_z, mask):
 
 def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
                 cams_sbi: CameraModel, feats: FrameFeatures,
-                tcfg: TrackerConfig = DEFAULT_TRACKER):
-    """One tracking step.  Returns (new TrackerState, TrackResult)."""
+                tcfg: TrackerConfig = DEFAULT_TRACKER, cam_active=None):
+    """One tracking step.  Returns (new TrackerState, TrackResult).
+
+    cam_active: optional (C,) bool — cameras absent from this frame (sensor
+    dropout) contribute no measurements, no rotation vote, and keep their
+    previous SBI; the reference tolerates arbitrary camera subsets per
+    frame structurally (src/Tracker.cc:286-316)."""
     C = feats.atlas.shape[0]
     N = ms.points.capacity
+    if cam_active is None:
+        cam_active = jnp.ones((C,), bool)
 
     # ---- 1. motion model
     if getattr(tcfg, "use_sbi_rotation", True):
         sbi_rot, have_rot = calc_sbi_rotation(
             ts, feats, cams_sbi, ms.cam_from_base,
             use_pallas=getattr(tcfg, "use_pallas_esm", False),
+            cam_active=cam_active,
         )
     else:
         sbi_rot, have_rot = jnp.zeros(3), jnp.zeros((), bool)
@@ -419,6 +433,7 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
 
     # ---- 2+3. coarse stage (levels >= 2, 60 pts, 30 px)
     pvs = compute_pvs(ms, cams, pose_pred)
+    pvs["valid"] = pvs["valid"] & cam_active[:, None]
     coarse_valid = pvs["valid"] & (pvs["level"] >= 2)
     c_idx, c_ok = _select_pairs(coarse_valid, perm, tcfg.coarse_max)
     c_cam = (c_idx // N).astype(jnp.int32)
@@ -509,12 +524,13 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
     new_vel = 0.9 * delta
     new_vel = jnp.where(lost, jnp.zeros(6), new_vel)
 
+    keep = cam_active[:, None, None]
     ts_new = ts.replace(
         pose=pose_new,
         vel=new_vel,
-        sbi_prev=feats.sbi,
-        sbi_prev_gx=feats.sbi_gx,
-        sbi_prev_gy=feats.sbi_gy,
+        sbi_prev=jnp.where(keep, feats.sbi, ts.sbi_prev),
+        sbi_prev_gx=jnp.where(keep, feats.sbi_gx, ts.sbi_prev_gx),
+        sbi_prev_gy=jnp.where(keep, feats.sbi_gy, ts.sbi_prev_gy),
         have_prev=jnp.ones((), bool),
         lost_count=lost_count,
         quality=quality.astype(jnp.int32),

@@ -97,3 +97,61 @@ def test_reset(ran_system):
     images = render_rig(cams, cfb, SE3.identity(), SEED, H, W)
     info = sys_.process_frame(images)
     assert info.n_points > 50
+
+
+def test_camera_dropout_tolerated():
+    """Frames may contain any camera subset (ref src/Tracker.cc:286-316):
+    a camera that drops out — and whose buffer contains garbage — must not
+    corrupt tracking, and dropped-camera KFs must be invalid in the map."""
+    sys_, cams, cfb = make_system()
+    traj = [SE3.exp(jnp.asarray([0.05 * i, 0.0, 0.03 * i, 0.0, 0.02 * i, 0.0]))
+            for i in range(7)]
+    rng = np.random.default_rng(0)
+    for i, pose in enumerate(traj):
+        images = np.array(render_rig(cams, cfb, pose, SEED, H, W))
+        active = np.ones(C, bool)
+        if i in (2, 3, 4):
+            # camera 1 drops out and its buffer is pure noise
+            active[1] = False
+            images[1] = rng.integers(0, 255, images[1].shape)
+        info = sys_.process_frame(images, cam_active=active)
+    est = info.pose
+    err_t = np.linalg.norm(est[:, 3] - np.asarray(traj[-1].t))
+    assert err_t < 0.08, err_t
+    assert not info.lost
+    # any MKF committed during the dropout window has kf_valid[1] == False
+    kf_valid = np.asarray(sys_.ms.mkfs.kf_valid)
+    mkf_valid = np.asarray(sys_.ms.mkfs.valid)
+    assert kf_valid[mkf_valid].all(axis=-1).any()  # full MKFs exist
+
+
+def test_runtime_vars_and_small_image(ran_system):
+    """GVars3-analogue runtime variables (ref src/System.cc:114-131) and
+    the tiled small-image monitor (ref SystemFrontendBase.cc:280-346)."""
+    sys_, cams, cfb, traj, infos = ran_system
+    img = sys_.small_image(level=2)
+    assert img is not None and img.ndim == 3 and img.shape[2] == 3
+    # two cameras tile as two columns at quarter resolution
+    assert img.shape == (H // 4, 2 * (W // 4), 3)
+
+    # AddingMKFs gates keyframe creation
+    sys_.set_var("AddingMKFs", False)
+    images = render_rig(cams, cfb, SE3.exp(jnp.asarray([0.5, 0, 0.3, 0, 0.2, 0])),
+                        SEED, H, W)
+    info = sys_.process_frame(images)
+    assert not info.added_mkf
+    sys_.set_var("AddingMKFs", True)
+
+    # GlareMasking re-jits the feature kernel
+    f_before = sys_._feats_fn
+    sys_.set_var("GlareMasking", True)
+    assert sys_._feats_fn is not f_before
+    sys_.set_var("GlareMasking", False)
+
+    # point-creation policy flows into the mapmaker config
+    sys_.set_var("LevelZeroPoints", False)
+    assert sys_.mapmaker.mcfg.level_zero_points is False
+    sys_.set_var("LevelZeroPoints", True)
+
+    with pytest.raises(KeyError):
+        sys_.set_var("NoSuchVar", 1)
