@@ -91,13 +91,10 @@ class System:
         # baked into the features kernel
         self._static_masks = None if masks is None else jnp.asarray(masks, bool)
         self._build_feats_fn()
-        self._track_fn = jax.jit(
-            lambda ts, ms, feats, cam_active: track_frame(
-                ts, ms, self.cams, self.cams_sbi, feats, self.tcfg,
-                cam_active=cam_active,
-            )
-        )
-        self._stats_fn = jax.jit(apply_tracker_point_stats)
+        # one fused device step per frame: track + point stats + add-MKF
+        # heuristic — a single dispatch and a single host sync per frame
+        # instead of one per stage (the tunnel round-trip is the cost)
+        self._step_fn = jax.jit(self._device_step)
         self._last_result = None
         from mcptam_tpu.ops.minipatch import filter_frame_candidates
         self._cand_filter_fn = jax.jit(filter_frame_candidates)
@@ -109,6 +106,22 @@ class System:
         )
 
     # ------------------------------------------------------------------
+    def _device_step(self, ts, ms, feats, cam_active):
+        """Fused per-frame device program: track, fold point stats (gated
+        on not-lost), evaluate the add-MKF heuristic."""
+        ts2, res = track_frame(
+            ts, ms, self.cams, self.cams_sbi, feats, self.tcfg,
+            cam_active=cam_active,
+        )
+        ms2 = apply_tracker_point_stats(
+            ms, res, self.mcfg.min_outliers, self.mcfg.outlier_multiplier,
+            enable=~res.lost,
+        )
+        add, _ = need_new_mkf(ms2, res.pose, jnp.mean(res.mean_depth),
+                              self.mcfg)
+        add = add & (res.quality == QUALITY_GOOD) & ~res.lost
+        return ts2, ms2, res, add
+
     def _build_feats_fn(self):
         masks = self._static_masks
         glare = bool(self.vars["GlareMasking"])
@@ -191,10 +204,18 @@ class System:
             self.initialized = True
             self.mapmaker.on_map_changed()
 
-        self.ts, res = self._track_fn(self.ts, self.ms, feats, cam_active)
+        self.ts, self.ms, res, add_flag = self._step_fn(
+            self.ts, self.ms, feats, cam_active
+        )
+        # one batched host sync for every per-frame control-flow scalar
+        lost, quality, add_flag, tot_found = (
+            np.asarray(x) for x in jax.device_get(
+                (res.lost, res.quality, add_flag, res.tot_found)
+            )
+        )
         timing.fine = sw.lap()
 
-        if bool(res.lost):
+        if lost:
             pose, ok, score = self._reloc_fn(self.ms, feats, cam_active)
             if bool(ok):
                 self.ts = self.ts.replace(
@@ -202,30 +223,25 @@ class System:
                     lost_count=jnp.zeros((), jnp.int32),
                 )
                 relocalized = True
-        else:
-            self.ms = self._stats_fn(self.ms, res)
 
         # MKF-add heuristics (ref src/Tracker.cc:468-488): good quality,
-        # map maker idle, far enough from the nearest keyframe
+        # map maker idle, far enough from the nearest keyframe — quality /
+        # lost / distance already folded into add_flag on device
         if (
             self.vars["AddingMKFs"]
-            and int(res.quality) == QUALITY_GOOD
-            and not bool(res.lost)
+            and add_flag
             and self.mapmaker.queue_size() == 0
         ):
-            mean_depth = jnp.mean(res.mean_depth)
-            add, _ = need_new_mkf(self.ms, res.pose, mean_depth, self.mcfg)
-            if bool(add):
-                # temporal candidate stability pruning before the frame
-                # becomes a keyframe (ref MakeKeyFrame_Rest's MiniPatch
-                # round-trip test, src/KeyFrame.cc:456-529)
-                mk_feats = feats
-                if self._prev_feats is not None:
-                    mk_feats = self._cand_filter_fn(self._prev_feats, feats)
-                self.mapmaker.add_mkf(
-                    mk_feats, res.pose, res, cam_active=cam_active
-                )
-                added = True
+            # temporal candidate stability pruning before the frame
+            # becomes a keyframe (ref MakeKeyFrame_Rest's MiniPatch
+            # round-trip test, src/KeyFrame.cc:456-529)
+            mk_feats = feats
+            if self._prev_feats is not None:
+                mk_feats = self._cand_filter_fn(self._prev_feats, feats)
+            self.mapmaker.add_mkf(
+                mk_feats, res.pose, res, cam_active=cam_active
+            )
+            added = True
         timing.add = sw.lap()
 
         # map-maker tick (the background thread's slice of this frame)
@@ -240,24 +256,28 @@ class System:
         timing.total = (
             timing.kf_downsample + timing.fine + timing.add + timing.depth
         )
-        timing.map_num_points = int(count_points(self.ms))
-        timing.map_num_mkfs = int(count_mkfs(self.ms))
+        n_pts, n_mkfs = jax.device_get(
+            (count_points(self.ms), count_mkfs(self.ms))
+        )
+        timing.map_num_points = int(n_pts)
+        timing.map_num_mkfs = int(n_mkfs)
 
         self.frame_count += 1
         self._prev_feats = feats
         self._last_result = res
+        pose_R, pose_t, cov = jax.device_get((res.pose.R, res.pose.t, res.cov))
         pose34 = np.concatenate(
-            [np.asarray(res.pose.R), np.asarray(res.pose.t)[:, None]], axis=1
+            [np.asarray(pose_R), np.asarray(pose_t)[:, None]], axis=1
         )
         return FrameInfo(
             pose=pose34,
-            cov=np.asarray(res.cov),
-            quality=int(res.quality),
-            lost=bool(res.lost),
+            cov=np.asarray(cov),
+            quality=int(quality),
+            lost=bool(lost),
             relocalized=relocalized,
             n_points=timing.map_num_points,
             n_mkfs=timing.map_num_mkfs,
-            n_found=int(res.tot_found),
+            n_found=int(tot_found),
             mm_state=self.mapmaker.state,
             timing=timing,
             added_mkf=added,

@@ -560,14 +560,18 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
 
 def apply_tracker_point_stats(ms: MapState, result: TrackResult,
                               min_outliers: int = 20,
-                              outlier_multiplier: float = 1.0) -> MapState:
+                              outlier_multiplier: float = 1.0,
+                              enable=True) -> MapState:
     """Fold tracker in/outlier tallies into the map and flag bad points
-    (ref MapMakerClientBase::MarkOutliers, src/MapMakerClientBase.cc:73-94)."""
+    (ref MapMakerClientBase::MarkOutliers, src/MapMakerClientBase.cc:73-94).
+
+    enable: traced bool — False makes this a no-op, so it can live inside
+    a fused jitted step gated on the lost flag."""
     pts = ms.points
-    inl = result.sel_found & ~result.sel_outlier
+    inl = result.sel_found & ~result.sel_outlier & enable
     in_count = pts.in_count.at[result.sel_point].add(inl.astype(jnp.int32))
     out_count = pts.out_count.at[result.sel_point].add(
-        result.sel_outlier.astype(jnp.int32)
+        (result.sel_outlier & enable).astype(jnp.int32)
     )
     bad = pts.bad | (
         (out_count > min_outliers)

@@ -105,6 +105,11 @@ def bench_one(name, n_poses, n_points, n_cams, n_steps=10, reps=10):
 
 def main():
     import jax
+    # sitecustomize pins JAX_PLATFORMS=axon; honor an explicit env choice
+    # through the config API, which wins over the pin
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        jax.config.update("jax_platforms", want)
     print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
     # local BA shape: newest + 3 neighbors, their points (ref
     # BundleAdjusterBase::BundleAdjustRecent, snRecentNum=3)
