@@ -118,6 +118,10 @@ class MapMakerConfig:
     outlier_multiplier: float = 1.0
     init_cov_thresh: float = 1.0
     max_consecutive_failed_ba: int = 5
+    # on the BA-failure reset chain, dump the full map in the reference's
+    # ASCII format first (ref fail_map.dat, src/MapMakerBase.cc:143-148);
+    # empty = disabled
+    fail_dump_path: str = ""
     # epipolar search
     epi_max_hypotheses: int = 64   # arc samples (ref steps arc at ~3px)
     max_new_points_per_level: tuple = (100, 100, 100, 100)

@@ -56,6 +56,15 @@ class SyncedFrameQueue:
     def dropped(self) -> int:
         return int(self._lib.fq_dropped(self._q))
 
+    def set_dynamic_sync(self, enable: bool = True):
+        """Adapt the sync tolerance to half the observed frame interval
+        (ref sbDynamicSync, include/mcptam/CameraGroupSubscriber.h)."""
+        self._lib.fq_set_dynamic(self._q, 1 if enable else 0)
+
+    @property
+    def effective_sync_tol(self) -> float:
+        return float(self._lib.fq_effective_tol(self._q))
+
     def close(self):
         if self._q:
             self._lib.fq_destroy(self._q)

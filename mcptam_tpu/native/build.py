@@ -55,6 +55,9 @@ def load(name: str) -> ctypes.CDLL:
             ]
             lib.fq_dropped.restype = ctypes.c_uint64
             lib.fq_dropped.argtypes = [ctypes.c_void_p]
+            lib.fq_set_dynamic.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.fq_effective_tol.restype = ctypes.c_double
+            lib.fq_effective_tol.argtypes = [ctypes.c_void_p]
         elif name == "netmanager":
             lib.nm_create_server.restype = ctypes.c_void_p
             lib.nm_create_server.argtypes = [ctypes.c_uint16]

@@ -11,6 +11,7 @@
 //
 // Build: g++ -O2 -shared -fPIC -pthread framequeue.cc -o libframequeue.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <condition_variable>
@@ -38,13 +39,42 @@ struct FrameQueue {
   std::mutex mu;
   std::condition_variable cv;
   uint64_t dropped = 0;
+  // dynamic sync bound from the observed framerate (reference
+  // CameraGroupSubscriber sbDynamicSync: the synchronizer's
+  // inter-message bound is derived from the measured rate,
+  // include/mcptam/CameraGroupSubscriber.h)
+  bool dynamic_sync = false;
+  std::vector<double> last_ts;       // per-camera last arrival
+  std::vector<double> interval_ema;  // per-camera EMA of inter-arrival
 
   FrameQueue(int n, size_t bytes, double tol, size_t depth)
       : n_cams(n), frame_bytes(bytes), sync_tol(tol), max_depth(depth),
-        rings(n) {}
+        rings(n), last_ts(n, -1.0), interval_ema(n, -1.0) {}
+
+  double effective_tol_locked() const {
+    if (!dynamic_sync) return sync_tol;
+    // frames of one synchronized set must lie closer than half the
+    // slowest camera's frame interval, else sets can interleave
+    double max_interval = -1.0;
+    for (int c = 0; c < n_cams; ++c) {
+      if (interval_ema[c] <= 0.0) return sync_tol;  // not yet observed
+      max_interval = std::max(max_interval, interval_ema[c]);
+    }
+    return std::min(sync_tol, 0.5 * max_interval);
+  }
 
   void push(int cam, double ts, const uint8_t* data) {
     std::unique_lock<std::mutex> lk(mu);
+    if (last_ts[cam] >= 0.0 && ts > last_ts[cam]) {
+      double dt = ts - last_ts[cam];
+      if (interval_ema[cam] < 0.0) {
+        interval_ema[cam] = dt;
+      } else if (dt < 3.0 * interval_ema[cam]) {
+        // skip larger gaps: missed frames must not widen the sync bound
+        interval_ema[cam] = 0.9 * interval_ema[cam] + 0.1 * dt;
+      }
+    }
+    last_ts[cam] = ts;
     auto& ring = rings[cam].frames;
     if (ring.size() >= max_depth) {
       ring.pop_front();
@@ -62,6 +92,7 @@ struct FrameQueue {
   // sync_tol of it (ApproximateTime-lite).  Heads older than (anchor -
   // tol) are dropped.
   bool match_locked(std::vector<Frame>* out) {
+    const double tol = effective_tol_locked();
     for (;;) {
       double newest_head = -1e300;
       for (auto& r : rings) {
@@ -72,7 +103,7 @@ struct FrameQueue {
       bool dropped_any = false;
       for (auto& r : rings) {
         while (!r.frames.empty() &&
-               r.frames.front().timestamp < newest_head - sync_tol) {
+               r.frames.front().timestamp < newest_head - tol) {
           r.frames.pop_front();
           ++dropped;
           dropped_any = true;
@@ -136,4 +167,17 @@ int fq_get_synced(void* q, uint8_t* out_data, double* out_ts,
 }
 
 uint64_t fq_dropped(void* q) { return static_cast<FrameQueue*>(q)->dropped; }
+
+// dynamic sync bound from the observed framerate (ref sbDynamicSync)
+void fq_set_dynamic(void* q, int enable) {
+  auto* fq = static_cast<FrameQueue*>(q);
+  std::unique_lock<std::mutex> lk(fq->mu);
+  fq->dynamic_sync = enable != 0;
+}
+
+double fq_effective_tol(void* q) {
+  auto* fq = static_cast<FrameQueue*>(q);
+  std::unique_lock<std::mutex> lk(fq->mu);
+  return fq->effective_tol_locked();
+}
 }

@@ -395,6 +395,9 @@ class MapServer:
             self._send_state()
             self._dirty = False
         if self.mapmaker.reset_requested:
+            if self.mapmaker.mcfg.fail_dump_path:
+                from mcptam_tpu.system.mapio import dump_map_ascii
+                dump_map_ascii(self.mapmaker.mcfg.fail_dump_path, self.ms)
             self.channel.send(ACTION_RESET)
             self.ms = self._fresh_map()
             self.mapmaker.reset(self.ms)

@@ -249,8 +249,12 @@ class System:
         if added:
             self.mapmaker.on_map_changed()
         # repeated BA failure -> full reset with pose carry-over
-        # (ref RequestResetInternal -> reset service, srv/Reset.srv)
+        # (ref RequestResetInternal -> reset service, srv/Reset.srv); dump
+        # the failed map first (ref fail_map.dat, src/MapMakerBase.cc:143-148)
         if self.mapmaker.reset_requested:
+            if self.mcfg.fail_dump_path:
+                from mcptam_tpu.system.mapio import dump_map_ascii
+                dump_map_ascii(self.mcfg.fail_dump_path, self.ms)
             self.reset(keep_pose=True)
         timing.depth = sw.lap()
         timing.total = (

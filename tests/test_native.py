@@ -50,6 +50,35 @@ def test_frame_queue_sync(rng):
     q.close()
 
 
+def test_frame_queue_dynamic_sync(rng):
+    # ref sbDynamicSync (include/mcptam/CameraGroupSubscriber.h): the sync
+    # bound adapts to half the observed frame interval
+    q = SyncedFrameQueue(2, 8, 8, sync_tol=0.05)
+    f = rng.integers(0, 255, (8, 8), dtype=np.uint8)
+    q.set_dynamic_sync(True)
+    # no rate observed yet -> static tolerance
+    assert abs(q.effective_sync_tol - 0.05) < 1e-12
+    # feed both cameras at 100 fps (interval 0.01) for a few frames
+    for i in range(6):
+        q.push(0, 1.0 + 0.01 * i, f)
+        q.push(1, 1.0 + 0.01 * i + 0.001, f)
+        assert q.get(timeout_ms=200) is not None
+    tol = q.effective_sync_tol
+    assert tol <= 0.5 * 0.0105 + 1e-6, tol  # ~half the observed interval
+    # a pair 8 ms apart (fine under the static 50 ms tol) no longer
+    # matches — the older head is discarded as unmatchable
+    q.push(0, 2.0, f)
+    q.push(1, 2.008, f)
+    assert q.get(timeout_ms=50) is None
+    # back to the static bound: an 8 ms pair matches again
+    q.set_dynamic_sync(False)
+    assert abs(q.effective_sync_tol - 0.05) < 1e-12
+    q.push(0, 3.0, f)
+    q.push(1, 3.008, f)
+    assert q.get(timeout_ms=200) is not None
+    q.close()
+
+
 def test_replay_source(rng):
     C, T, H, W = 2, 5, 8, 8
     frames = rng.integers(0, 255, (C, T, H, W), dtype=np.uint8)

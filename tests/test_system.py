@@ -99,6 +99,24 @@ def test_reset(ran_system):
     assert info.n_points > 50
 
 
+def test_ba_failure_reset_dumps_fail_map(ran_system, tmp_path):
+    # ref RequestResetInternal: repeated BA failure resets the system,
+    # dumping the map to fail_map.dat first (src/MapMakerBase.cc:143-148)
+    import dataclasses
+    sys_, cams, cfb, traj, infos = ran_system
+    images = render_rig(cams, cfb, SE3.identity(), SEED, H, W)
+    sys_.process_frame(images)  # (re-)initialized from test_reset's state
+    path = str(tmp_path / "fail_map.dat")
+    sys_.mcfg = dataclasses.replace(sys_.mcfg, fail_dump_path=path)
+    sys_.mapmaker.failed_ba_count = sys_.mcfg.max_consecutive_failed_ba
+    info = sys_.process_frame(images)
+    import os
+    assert os.path.exists(path)
+    assert "% mcptam_tpu map dump" in open(path).read()
+    # reset happened: map cleared, pose carried over
+    assert not sys_.initialized
+
+
 def test_camera_dropout_tolerated():
     """Frames may contain any camera subset (ref src/Tracker.cc:286-316):
     a camera that drops out — and whose buffer contains garbage — must not
