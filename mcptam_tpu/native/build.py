@@ -77,5 +77,9 @@ def load(name: str) -> ctypes.CDLL:
             lib.nm_peek_size.argtypes = [ctypes.c_void_p]
             lib.nm_port.restype = ctypes.c_uint16
             lib.nm_port.argtypes = [ctypes.c_void_p]
+            lib.nm_stats.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ]
+            lib.nm_break.argtypes = [ctypes.c_void_p]
         _cache[name] = lib
         return lib

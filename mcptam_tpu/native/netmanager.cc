@@ -63,10 +63,15 @@ struct NetManager {
   int listen_fd = -1;
   uint16_t port = 0;
   std::string host;
+  // send/receive accounting (the reference keeps per-object send/receive
+  // accounting maps, include/mcptam/NetworkManager.h:298-303)
+  std::atomic<uint64_t> msgs_sent{0}, msgs_recv{0};
+  std::atomic<uint64_t> bytes_sent{0}, bytes_recv{0};
+  std::atomic<uint64_t> reconnects{0};
 
   std::deque<Message> outgoing;
   std::deque<Message> incoming;
-  std::mutex out_mu, in_mu;
+  std::mutex out_mu, in_mu, conn_mu;
   std::condition_variable out_cv, in_cv;
   std::thread send_thread, recv_thread, accept_thread;
 
@@ -123,7 +128,10 @@ struct NetManager {
 
   void ensure_connected() {
     // (re)connect with retry — the reference retries service calls
-    // forever (src/NetworkManager.cc:284-294)
+    // forever (src/NetworkManager.cc:284-294).  conn_mu: only one of the
+    // send/recv threads reconnects; the other would otherwise race a
+    // second socket and strand one end in the listen backlog.
+    std::unique_lock<std::mutex> conn_lk(conn_mu);
     while (running && fd.load() < 0) {
       if (is_server) {
         int c = ::accept(listen_fd, nullptr, nullptr);
@@ -131,6 +139,7 @@ struct NetManager {
           int one = 1;
           setsockopt(c, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
           fd = c;
+          reconnects.fetch_add(1);
         }
       } else {
         int s = ::socket(AF_INET, SOCK_STREAM, 0);
@@ -142,6 +151,7 @@ struct NetManager {
           int one = 1;
           setsockopt(s, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
           fd = s;
+          reconnects.fetch_add(1);
         } else {
           ::close(s);
           std::this_thread::sleep_for(std::chrono::milliseconds(50));
@@ -173,6 +183,8 @@ struct NetManager {
                 send_all(f, &len, sizeof(len)) &&
                 (len == 0 || send_all(f, msg.payload.data(), len));
       if (ok) {
+        msgs_sent.fetch_add(1);
+        bytes_sent.fetch_add(sizeof(hdr) + sizeof(len) + len);
         std::unique_lock<std::mutex> lk(out_mu);
         outgoing.pop_front();
       } else {
@@ -204,6 +216,8 @@ struct NetManager {
         if (dead >= 0) ::close(dead);
         continue;
       }
+      msgs_recv.fetch_add(1);
+      bytes_recv.fetch_add(sizeof(hdr) + sizeof(len) + len);
       {
         std::unique_lock<std::mutex> lk(in_mu);
         incoming.push_back(std::move(msg));
@@ -250,6 +264,15 @@ struct NetManager {
     if (incoming.empty()) return -1;
     return incoming.front().payload.size();
   }
+
+  // simulate a network partition: force the live connection down.  Both
+  // loops detect the failure and re-enter ensure_connected (the reference
+  // handles partitions by infinite retry + service reconnect,
+  // src/NetworkManager.cc:284-294); undelivered messages stay queued.
+  void break_connection() {
+    int f = fd.load();
+    if (f >= 0) ::shutdown(f, SHUT_RDWR);
+  }
 };
 
 }  // namespace
@@ -288,4 +311,16 @@ int64_t nm_peek_size(void* h) {
 }
 
 uint16_t nm_port(void* h) { return static_cast<NetManager*>(h)->port; }
+
+// out[5] = {msgs_sent, msgs_recv, bytes_sent, bytes_recv, reconnects}
+void nm_stats(void* h, uint64_t* out) {
+  auto* nm = static_cast<NetManager*>(h);
+  out[0] = nm->msgs_sent.load();
+  out[1] = nm->msgs_recv.load();
+  out[2] = nm->bytes_sent.load();
+  out[3] = nm->bytes_recv.load();
+  out[4] = nm->reconnects.load();
+}
+
+void nm_break(void* h) { static_cast<NetManager*>(h)->break_connection(); }
 }

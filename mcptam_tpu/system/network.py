@@ -37,7 +37,7 @@ from mcptam_tpu.map.builder import commit_mkf
 from mcptam_tpu.map.mapmaker_core import record_tracker_measurements
 from mcptam_tpu.native.build import load
 from mcptam_tpu.system.netcodec import (
-    pack_arrays, unpack_arrays,
+    pack_arrays, unpack_arrays, JPEG_QUALITY,
     ACTION_ADD, ACTION_DELETE, ACTION_UPDATE, ACTION_OUTLIERS,
     ACTION_INIT, ACTION_RESET, ACTION_STATE,
 )
@@ -69,7 +69,8 @@ class Channel:
         return cls(lib.nm_create_client(host.encode(), port), lib)
 
     def send(self, action: int, arrays: dict | None = None):
-        blob = pack_arrays(arrays or {})
+        # keyframe imagery rides as JPEG planes (ref NetworkManager q=90)
+        blob = pack_arrays(arrays or {}, jpeg_keys=("img0",))
         buf = (ctypes.c_uint8 * len(blob)).from_buffer_copy(blob)
         self._lib.nm_send(self._h, action, buf, len(blob))
 
@@ -89,6 +90,22 @@ class Channel:
             blob = bytes(bytearray(buf[: int(n)]))
             return int(action.value), unpack_arrays(blob)
 
+    @property
+    def stats(self) -> dict:
+        """Send/receive accounting (ref NetworkManager.h:298-303)."""
+        out = (ctypes.c_uint64 * 5)()
+        self._lib.nm_stats(self._h, out)
+        return {
+            "msgs_sent": int(out[0]), "msgs_recv": int(out[1]),
+            "bytes_sent": int(out[2]), "bytes_recv": int(out[3]),
+            "reconnects": int(out[4]),
+        }
+
+    def break_connection(self):
+        """Force the live connection down (partition simulation); queued
+        messages are redelivered after automatic reconnect."""
+        self._lib.nm_break(self._h)
+
     def close(self):
         if self._h:
             self._lib.nm_destroy(self._h)
@@ -99,9 +116,21 @@ class Channel:
 # FrameFeatures / pose / tracker-result array conversion
 # ---------------------------------------------------------------------------
 
-def feats_to_arrays(feats: FrameFeatures, pose: SE3) -> dict:
-    d = {
-        "atlas": np.clip(np.asarray(feats.atlas), 0, 255).astype(np.uint8),
+def feats_to_arrays(feats: FrameFeatures, pose: SE3,
+                    jpeg_quality: int = JPEG_QUALITY) -> dict:
+    """jpeg_quality > 0: ship only the level-0 image as per-camera JPEG
+    planes (the reference sends the level-0 KF image + mask as JPEG-90 and
+    re-derives everything server-side, src/NetworkManager.cc:804-805); the
+    receiver rebuilds the pyramid atlas from the decoded image.  0 = ship
+    the full atlas losslessly."""
+    if jpeg_quality > 0:
+        from mcptam_tpu.ops.atlas import _level0_width_from_atlas
+        W = _level0_width_from_atlas(feats.atlas.shape[-1])
+        img0 = feats.atlas[..., :, :W]
+        d = {"img0": np.clip(np.asarray(img0), 0, 255).astype(np.uint8)}
+    else:
+        d = {"atlas": np.clip(np.asarray(feats.atlas), 0, 255).astype(np.uint8)}
+    d.update({
         "corner_atlas": (np.asarray(feats.corner_atlas) > 0.5).astype(np.uint8),
         "thresholds": np.asarray(feats.thresholds),
         "corner_counts": np.asarray(feats.corner_counts),
@@ -110,7 +139,7 @@ def feats_to_arrays(feats: FrameFeatures, pose: SE3) -> dict:
         "sbi_gy": np.asarray(feats.sbi_gy),
         "pose_R": np.asarray(pose.R),
         "pose_t": np.asarray(pose.t),
-    }
+    })
     for l in range(LEVELS):
         d[f"cand_xy_{l}"] = np.asarray(feats.cand_xy[l])
         d[f"cand_score_{l}"] = np.asarray(feats.cand_score[l])
@@ -119,8 +148,18 @@ def feats_to_arrays(feats: FrameFeatures, pose: SE3) -> dict:
 
 
 def arrays_to_feats(d: dict):
+    if "atlas" in d:
+        atlas = jnp.asarray(d["atlas"], jnp.float32)
+    else:
+        # level-0 JPEG planes: rebuild the pyramid atlas, as the reference
+        # server re-derives imagery from the decoded JPEG
+        from mcptam_tpu.ops.pyramid import build_pyramid
+        from mcptam_tpu.ops.atlas import build_atlas
+        atlas = build_atlas(
+            build_pyramid(jnp.asarray(d["img0"], jnp.float32))
+        )
     feats = FrameFeatures(
-        atlas=jnp.asarray(d["atlas"], jnp.float32),
+        atlas=atlas,
         corner_atlas=jnp.asarray(d["corner_atlas"], jnp.float32),
         thresholds=jnp.asarray(d["thresholds"]),
         corner_counts=jnp.asarray(d["corner_counts"]),

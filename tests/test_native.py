@@ -27,6 +27,32 @@ def test_codec_roundtrip(rng):
     assert int(s) == 3
 
 
+def test_codec_jpeg_planes(rng):
+    # keyframe imagery as JPEG planes at the reference's quality 90
+    # (src/NetworkManager.cc:804-805): lossy but close, and much smaller
+    # than zlib on natural images
+    yy, xx = np.mgrid[0:64, 0:96]
+    img = (
+        96 + 60 * np.sin(xx / 7.0) * np.cos(yy / 9.0)
+        + rng.normal(0, 4, (64, 96))
+    )
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    imgs = np.stack([img, img[::-1]])  # (2,H,W) per-camera planes
+    blob_j = pack_arrays({"img0": imgs}, jpeg_keys=("img0",))
+    blob_z = pack_arrays({"img0": imgs})
+    out = unpack_arrays(blob_j)["img0"]
+    assert out.shape == imgs.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(np.float32) - imgs.astype(np.float32))
+    assert float(err.mean()) < 3.0, float(err.mean())  # q=90 is near-lossless
+    assert len(blob_j) < len(blob_z), (len(blob_j), len(blob_z))
+    assert len(blob_j) < 0.4 * imgs.nbytes, (len(blob_j), imgs.nbytes)
+    # non-image dtypes/keys are untouched by the jpeg path
+    exact = unpack_arrays(
+        pack_arrays({"a": imgs.astype(np.int32)}, jpeg_keys=("a",))
+    )["a"]
+    assert np.array_equal(exact, imgs)
+
+
 def test_frame_queue_sync(rng):
     q = SyncedFrameQueue(2, 8, 8, sync_tol=0.01)
     f0 = rng.integers(0, 255, (8, 8), dtype=np.uint8)
@@ -111,5 +137,35 @@ def test_netmanager_loopback(rng):
     assert out is not None
     assert out[0] == 5
     assert np.array_equal(out[1]["img"], big["img"])
+    # send/receive accounting (ref NetworkManager.h:298-303)
+    cs, ss = client.stats, server.stats
+    assert cs["msgs_sent"] == 1 and ss["msgs_recv"] == 1
+    assert ss["msgs_sent"] == 1 and cs["msgs_recv"] == 1
+    assert cs["bytes_sent"] == ss["bytes_recv"] > 0
+    client.close()
+    server.close()
+
+
+def test_netmanager_partition_recovery(rng):
+    # the reference survives network partitions via infinite retry +
+    # service reconnect (src/NetworkManager.cc:284-294): undelivered
+    # messages stay queued and arrive after the link comes back
+    server = Channel.serve(0)
+    client = Channel.connect("127.0.0.1", server.port)
+    client.send(1, {"i": np.asarray([0], np.int32)})
+    assert server.poll(timeout_ms=2000) is not None
+    # partition both ends mid-session
+    client.break_connection()
+    server.break_connection()
+    for i in range(1, 4):
+        client.send(1, {"i": np.asarray([i], np.int32)})
+    got = []
+    deadline = time.time() + 10.0
+    while len(got) < 3 and time.time() < deadline:
+        out = server.poll(timeout_ms=500)
+        if out is not None:
+            got.append(int(out[1]["i"][0]))
+    assert got == [1, 2, 3], got  # in order, none lost
+    assert client.stats["reconnects"] >= 2  # initial connect + recovery
     client.close()
     server.close()
