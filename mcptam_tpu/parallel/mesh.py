@@ -102,6 +102,27 @@ def sharded_frame_features(mesh: Mesh, images):
     return fn, images
 
 
+def sharded_epipolar_match(mesh: Mesh):
+    """jit epipolar_match with the CANDIDATE axis sharded over devices —
+    the map-maker's hot op (ref AddPointEpipolar,
+    src/MapMakerServerBase.cc:604-914): each chip scores its slice of the
+    (candidate x hypothesis x window) tensor against the replicated
+    keyframe imagery; no cross-candidate reduction exists, so the only
+    collective is the output all-gather.
+
+    Returns fn(ms, cams, src_mkf, src_cam, tgt_mkf, tgt_cam, level,
+    xy_level, want) with the (Q,)-shaped args sharded; Q must divide by
+    the mesh size."""
+    from mcptam_tpu.map.epipolar import epipolar_match
+
+    cand = _spec(mesh, AXIS)
+    return jax.jit(
+        epipolar_match,
+        in_shardings=(None, None) + (cand,) * 7,
+        out_shardings=cand,
+    )
+
+
 def sharded_track_frame(mesh: Mesh, ms, cams, cams_sbi, tcfg):
     """jit track_frame with the map's point arrays sharded over devices:
     the PVS projection and pair search parallelize over chips, and the

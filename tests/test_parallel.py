@@ -103,3 +103,36 @@ def test_sharded_track_frame_matches(world):
         rtol=1e-4, atol=1e-5,
     )
     assert int(got_res.tot_found) == int(ref_res.tot_found)
+
+
+def test_sharded_epipolar_matches(world):
+    # the map-maker's hot op: candidate axis sharded over chips
+    from mcptam_tpu.parallel.mesh import sharded_epipolar_match
+    from mcptam_tpu.map.epipolar import epipolar_match
+
+    cams, cfb, cams_sbi, ms, images = world
+    feats = jax.jit(make_frame_features)(images)
+    Q = 24  # divisible by the 8-device mesh
+    lvl = 0  # the tiny test images only yield epipolar matches at level 0
+    xy = feats.cand_xy[lvl][0][:Q].astype(jnp.float32)
+    want = feats.cand_valid[lvl][0][:Q]
+    args = (
+        jnp.zeros(Q, jnp.int32),           # src_mkf
+        jnp.zeros(Q, jnp.int32),           # src_cam
+        jnp.zeros(Q, jnp.int32),           # tgt_mkf
+        jnp.ones(Q, jnp.int32),            # tgt_cam (cross-camera stereo)
+        jnp.full((Q,), lvl, jnp.int32),
+        xy, want,
+    )
+    ref = jax.jit(epipolar_match)(ms, cams, *args)
+    mesh = make_mesh(8)
+    got = sharded_epipolar_match(mesh)(ms, cams, *args)
+    assert int(jnp.sum(ref[0])) > 0  # some candidates matched
+    assert np.array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    ok = np.asarray(ref[0])
+    np.testing.assert_allclose(
+        np.asarray(got[1])[ok], np.asarray(ref[1])[ok], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[2])[ok], np.asarray(ref[2])[ok], rtol=1e-4, atol=1e-3
+    )
