@@ -65,6 +65,7 @@ def run_tracking_loop(system, frames, fps, out_map=None, print_every=1):
     src.start()
     T = frames.shape[1]
     info = None
+    infos = []
     for i in range(T):
         out = src.queue.get(timeout_ms=10000)
         if out is None:
@@ -72,6 +73,7 @@ def run_tracking_loop(system, frames, fps, out_map=None, print_every=1):
             break
         imgs, ts = out
         info = system.process_frame(jnp.asarray(imgs, jnp.float32))
+        infos.append(info)
         if i % print_every == 0:
             t = info.pose[:, 3]
             print(
@@ -86,4 +88,21 @@ def run_tracking_loop(system, frames, fps, out_map=None, print_every=1):
         from mcptam_tpu.system.mapio import save_map
         save_map(out_map, system.ms)
         print(f"[mcptam] map saved to {out_map}")
-    return info
+    return infos
+
+
+def load_gt_poses(path: str):
+    """Ground-truth base_from_world trajectory: (T,3,4) [R|t] matrices or
+    (T,6) se3 ln() vectors in a .npy file."""
+    import numpy as np
+    arr = np.load(path)
+    if arr.ndim == 3 and arr.shape[1:] == (3, 4):
+        return np.asarray(arr, np.float64)
+    if arr.ndim == 2 and arr.shape[1] == 6:
+        import jax.numpy as jnp
+        from mcptam_tpu.core.se3 import SE3
+        poses = SE3.exp(jnp.asarray(arr, jnp.float32))
+        return np.concatenate(
+            [np.asarray(poses.R), np.asarray(poses.t)[..., None]], axis=-1
+        ).astype(np.float64)
+    raise ValueError(f"expected (T,3,4) or (T,6) gt poses, got {arr.shape}")

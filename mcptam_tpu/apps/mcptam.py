@@ -26,6 +26,9 @@ def main(argv=None):
                    help="write the final map (+trajectory) as a PLY cloud")
     p.add_argument("--dump-kfs", default="",
                    help="directory for keyframe overlay images (.ppm)")
+    p.add_argument("--eval-gt", default="",
+                   help="ground-truth trajectory .npy ((T,3,4) or (T,6) "
+                        "ln vectors); prints ATE/RPE after the run")
     args = p.parse_args(argv)
     ensure_jax_platform(args.platform)
 
@@ -38,8 +41,15 @@ def main(argv=None):
         from mcptam_tpu.system.mapio import load_map
         system.ms = load_map(args.load_map, system.ms)
         system.initialized = True
-    run_tracking_loop(system, frames, args.fps,
-                      out_map=args.out_map or None)
+    infos = run_tracking_loop(system, frames, args.fps,
+                              out_map=args.out_map or None)
+    if args.eval_gt:
+        import json
+        from mcptam_tpu.apps._common import load_gt_poses
+        from mcptam_tpu.system.evaluate import evaluate_run
+        gt = load_gt_poses(args.eval_gt)[: len(infos)]
+        scores = evaluate_run(infos, gt)
+        print("[mcptam] eval " + json.dumps(scores))
     if args.align_plane:
         ok = system.align_to_dominant_plane()
         print(f"[mcptam] plane alignment {'done' if ok else 'failed'}")

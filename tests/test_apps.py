@@ -54,13 +54,20 @@ def test_mcptam_app(tmp_path, capsys):
     rig, cams, cfb = _rig_json(tmp_path)
     video, traj = _video_npz(tmp_path, cams, cfb)
     out_map = str(tmp_path / "map.npz")
+    gt = str(tmp_path / "gt.npy")
+    np.save(gt, np.stack([np.asarray(p.ln()) for p in traj]))
     rc = main(["--rig", rig, "--video", video, "--out-map", out_map,
-               "--fps", "1000"])
+               "--fps", "1000", "--eval-gt", gt])
     assert rc == 0
     out = capsys.readouterr().out
     assert "frame    4" in out
     assert "lost=0" in out
     assert os.path.exists(out_map)
+    # the ATE/RPE report (system/evaluate.py) scores the run
+    line = [l for l in out.splitlines() if l.startswith("[mcptam] eval ")][0]
+    scores = json.loads(line[len("[mcptam] eval "):])
+    assert scores["lost_frames"] == 0
+    assert scores["ate"]["rmse"] < 0.05, scores
 
 
 def test_rig_roundtrip(tmp_path):
