@@ -43,6 +43,33 @@ def load_map(path: str, template: MapState) -> MapState:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def dump_cameras_ascii(path: str, cams, cam_from_base, H: int, W: int):
+    """cameras.dat analogue (ref SystemBase::DumpCamerasToFile,
+    src/SystemBase.cc:166-215): per camera the image size, the 9 Taylor
+    parameters (a0,a2,a3,a4 poly, center, affine c/d/e) and the
+    cam-from-base extrinsic."""
+    C = int(cam_from_base.t.shape[0])
+    with open(path, "w") as f:
+        f.write(f"% mcptam_tpu cameras dump\n% cameras {C}\n")
+        poly = np.asarray(cams.poly)           # (C,5) a0..a4 (a1=0)
+        center = np.asarray(cams.center)       # (C,2)
+        affine = np.asarray(cams.affine)       # (C,2,2) [[c,d],[e,1]]
+        for c in range(C):
+            params = [
+                poly[c, 0], poly[c, 2], poly[c, 3], poly[c, 4],
+                center[c, 0], center[c, 1],
+                affine[c, 0, 0], affine[c, 0, 1], affine[c, 1, 0],
+            ]
+            R = np.asarray(cam_from_base.R[c]).reshape(-1)
+            t = np.asarray(cam_from_base.t[c])
+            f.write(
+                f"cam {c} size {W} {H} params "
+                + " ".join(f"{v:.9g}" for v in params)
+                + " pose " + " ".join(f"{v:.9g}" for v in list(R) + list(t))
+                + "\n"
+            )
+
+
 def dump_map_ascii(path: str, ms: MapState):
     """Human-readable dump in the spirit of the reference's map.dat
     (src/MapMakerBase.cc:475-579): rig extrinsics, MKF poses, points with

@@ -186,6 +186,11 @@ class MapMaker:
             self._ba_state = None
         return ms
 
+    def stop_init(self):
+        """Force the end of initialization (ref RequestStopInit via the
+        ManualAddMKF GUI command, src/System.cc:349-356)."""
+        self.state = MM_RUNNING
+
     def on_map_changed(self):
         """New measurements/points invalidate BA convergence latches."""
         self._local_done = False

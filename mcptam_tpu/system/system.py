@@ -75,6 +75,9 @@ class System:
         self.initialized = False
         self.frame_count = 0
         self._t_last = None
+        self.done = False            # "quit"/"exit" command latch
+        self._force_add_next = False  # ManualAddMKF request
+        self._kf_view = 0            # KeyFrameViewer index
 
         # runtime-mutable variables (the reference's GVars3 GUI variables,
         # src/System.cc:114-131); set_var re-jits where the flag is baked in
@@ -227,9 +230,11 @@ class System:
         # MKF-add heuristics (ref src/Tracker.cc:468-488): good quality,
         # map maker idle, far enough from the nearest keyframe — quality /
         # lost / distance already folded into add_flag on device
+        force_add = self._force_add_next and not lost
+        if force_add:
+            self._force_add_next = False
         if (
-            self.vars["AddingMKFs"]
-            and add_flag
+            (self.vars["AddingMKFs"] and add_flag or force_add)
             and self.mapmaker.queue_size() == 0
         ):
             # temporal candidate stability pruning before the frame
@@ -292,6 +297,89 @@ class System:
         return self.ts.pose
 
     # -- GUI-command analogues (ref src/System.cc:305-405) -----------------
+    def parse_line(self, line: str):
+        """GVars3 `GUI.ParseLine` analogue: one command string.
+
+        Vocabulary matches the reference's registered GUI commands
+        (src/System.cc:64-77, handled at :305-405): quit/exit, Reset,
+        InitTracker, ShowNextKeyFrame, ShowPrevKeyFrame, ScaleMapUp,
+        ScaleMapDown, ExportMapToFile [map.dat [cameras.dat]],
+        ManualAddMKF, KeyPress <k>; plus GVars-style `Name=Value`
+        assignments routed to :meth:`set_var`."""
+        line = line.strip()
+        if not line:
+            return
+        if "=" in line and " " not in line.split("=", 1)[0]:
+            name, value = (s.strip() for s in line.split("=", 1))
+            cur = self.vars[name]
+            if isinstance(cur, bool):
+                value = value.lower() in ("1", "true", "yes", "on")
+            elif isinstance(cur, int):
+                value = int(value)
+            elif isinstance(cur, float):
+                value = float(value)
+            self.set_var(name, value)
+            return
+        parts = line.split()
+        cmd, params = parts[0], parts[1:]
+        if cmd in ("quit", "exit"):
+            self.done = True
+        elif cmd == "Reset":
+            self.reset()
+        elif cmd == "InitTracker":
+            # re-bootstrap the map from the next frame (ref RequestInit)
+            if not self.initialized:
+                return
+            self.reset(keep_pose=True)
+        elif cmd == "ShowNextKeyFrame":
+            self._kf_view += 1
+        elif cmd == "ShowPrevKeyFrame":
+            self._kf_view -= 1
+        elif cmd == "ScaleMapUp":
+            self.rescale_map(2.0)
+        elif cmd == "ScaleMapDown":
+            self.rescale_map(0.5)
+        elif cmd == "ExportMapToFile":
+            from mcptam_tpu.system.mapio import (
+                dump_map_ascii, dump_cameras_ascii,
+            )
+            map_path = params[0] if params else "map.dat"
+            cam_path = params[1] if len(params) > 1 else "cameras.dat"
+            dump_map_ascii(map_path, self.ms)
+            dump_cameras_ascii(
+                cam_path, self.cams, self.cam_from_base, self.H, self.W
+            )
+        elif cmd == "ManualAddMKF":
+            if self.mapmaker.state == MM_INITIALIZING:
+                self.mapmaker.stop_init()
+            else:
+                self._force_add_next = True
+        elif cmd == "KeyPress":
+            key = params[0] if params else ""
+            if key == "r":
+                self.reset()
+            elif key in ("q", "Escape"):
+                self.done = True
+            elif key == "o":
+                self.mapmaker.on_map_changed()  # SetNotConverged analogue
+            elif key == "a":
+                self.parse_line("ManualAddMKF")
+            elif key == "Space":
+                self.parse_line("InitTracker")
+        else:
+            raise ValueError(f"unhandled GUI command: {cmd!r}")
+
+    def keyframe_view(self, cam_idx: int = 0):
+        """Current KeyFrameViewer image (measurement overlay of the MKF the
+        viewer cursor points at; ref KeyFrameViewer.h:57-89).  Returns
+        (H,W,3) uint8 or None if the map has no keyframes."""
+        from mcptam_tpu.system.viewer import keyframe_overlay
+        valid = np.nonzero(np.asarray(self.ms.mkfs.valid))[0]
+        if valid.size == 0:
+            return None
+        m = int(valid[self._kf_view % valid.size])
+        return keyframe_overlay(self.ms, m, cam_idx)
+
     def rescale_map(self, scale: float):
         """Uniform global map rescale (the 'Rescale' menu command)."""
         from mcptam_tpu.map.align import apply_global_scale

@@ -173,3 +173,62 @@ def test_runtime_vars_and_small_image(ran_system):
 
     with pytest.raises(KeyError):
         sys_.set_var("NoSuchVar", 1)
+
+
+def test_gui_command_console(tmp_path):
+    """GUI.ParseLine analogue: the reference's registered command
+    vocabulary (src/System.cc:64-77,305-405) drives the same actions."""
+    sys_, cams, cfb = make_system()
+    for i in range(3):
+        pose = SE3.exp(jnp.asarray([0.06 * i, 0.0, 0.04 * i, 0.0, 0.02 * i, 0.0]))
+        info = sys_.process_frame(render_rig(cams, cfb, pose, SEED, H, W))
+    assert not info.lost
+
+    # GVars-style assignment routes to set_var
+    sys_.parse_line("DrawLevel=1")
+    assert sys_.get_var("DrawLevel") == 1
+    sys_.parse_line("AddingMKFs=false")
+    assert sys_.get_var("AddingMKFs") is False
+    sys_.parse_line("AddingMKFs=true")
+
+    # ExportMapToFile writes map.dat + cameras.dat
+    mp, cp = str(tmp_path / "map.dat"), str(tmp_path / "cameras.dat")
+    sys_.parse_line(f"ExportMapToFile {mp} {cp}")
+    assert "point" in open(mp).read()
+    cam_text = open(cp).read()
+    assert "params" in cam_text and f"size {W} {H}" in cam_text
+
+    # ScaleMapUp doubles the map scale (ref RequestRescaling(2.0))
+    t_before = np.asarray(sys_.ms.points.pos_w).copy()
+    mask = np.asarray(sys_.ms.points.valid)
+    sys_.parse_line("ScaleMapUp")
+    t_after = np.asarray(sys_.ms.points.pos_w)
+    assert np.allclose(t_after[mask], 2.0 * t_before[mask], rtol=1e-5)
+    sys_.parse_line("ScaleMapDown")
+
+    # KeyFrameViewer cursor
+    img0 = sys_.keyframe_view()
+    sys_.parse_line("ShowNextKeyFrame")
+    img1 = sys_.keyframe_view()
+    assert img0 is not None and img0.ndim == 3
+    assert img1 is not None and img1.shape == img0.shape
+
+    # ManualAddMKF during init forces RUNNING; afterwards forces an add
+    from mcptam_tpu.system.mapmaker import MM_INITIALIZING, MM_RUNNING
+    if sys_.mapmaker.state == MM_INITIALIZING:
+        sys_.parse_line("ManualAddMKF")
+        assert sys_.mapmaker.state == MM_RUNNING
+    sys_.parse_line("ManualAddMKF")
+    n_mkfs_before = int(jnp.sum(sys_.ms.mkfs.valid))
+    pose = SE3.exp(jnp.asarray([0.2, 0.0, 0.12, 0.0, 0.06, 0.0]))
+    info = sys_.process_frame(render_rig(cams, cfb, pose, SEED, H, W))
+    assert info.added_mkf
+
+    # KeyPress routing + quit latch
+    sys_.parse_line("KeyPress o")
+    sys_.parse_line("KeyPress q")
+    assert sys_.done
+    sys_.parse_line("Reset")
+    assert not sys_.initialized
+    with pytest.raises(ValueError):
+        sys_.parse_line("NoSuchCommand")
