@@ -16,18 +16,22 @@ import jax.numpy as jnp
 from mcptam_tpu.map.state import MapState
 
 
-def save_map(path: str, ms: MapState):
-    """Serialize the complete MapState to an npz file."""
+def save_map(path: str, ms: MapState, extras: dict | None = None):
+    """Serialize the complete MapState to an npz file.  `extras` adds
+    named session arrays (tracker pose, scheduler state, ...) alongside
+    the map for full checkpoint/resume."""
     leaves, treedef = jax.tree_util.tree_flatten(ms)
     np.savez_compressed(
         path, n_leaves=len(leaves),
         **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        **{f"extra_{k}": np.asarray(v) for k, v in (extras or {}).items()},
     )
 
 
-def load_map(path: str, template: MapState) -> MapState:
+def load_map(path: str, template: MapState, with_extras: bool = False):
     """Restore a MapState saved by :func:`save_map`.  `template` supplies
-    the pytree structure (capacities must match)."""
+    the pytree structure (capacities must match).  With ``with_extras``
+    returns ``(ms, extras_dict)``."""
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(template)
     n = int(data["n_leaves"])
@@ -40,7 +44,13 @@ def load_map(path: str, template: MapState) -> MapState:
     for i, (a, b) in enumerate(zip(new_leaves, leaves)):
         if a.shape != b.shape:
             raise ValueError(f"leaf {i} shape mismatch: {a.shape} vs {b.shape}")
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    ms = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    if not with_extras:
+        return ms
+    extras = {
+        k[len("extra_"):]: data[k] for k in data.files if k.startswith("extra_")
+    }
+    return ms, extras
 
 
 def dump_cameras_ascii(path: str, cams, cam_from_base, H: int, W: int):

@@ -296,6 +296,35 @@ class System:
     def pose(self) -> SE3:
         return self.ts.pose
 
+    # -- checkpoint / resume (the loader the reference lacks; SURVEY §5) ----
+    def save(self, path: str):
+        """Checkpoint the full session: map + tracker pose + scheduler
+        state.  The reference only write-dumps maps (map.dat,
+        src/MapMakerBase.cc:475-579) and cannot reload them."""
+        from mcptam_tpu.system.mapio import save_map
+        save_map(path, self.ms, extras={
+            "pose_R": np.asarray(self.ts.pose.R),
+            "pose_t": np.asarray(self.ts.pose.t),
+            "mm_state": np.int32(self.mapmaker.state),
+            "initialized": np.bool_(self.initialized),
+        })
+
+    def load(self, path: str):
+        """Resume a checkpointed session: restores the map, re-seats the
+        tracker at the saved pose, and resumes the map-maker schedule.
+        Capacities must match the running System."""
+        from mcptam_tpu.system.mapio import load_map
+        ms, extras = load_map(path, self.ms, with_extras=True)
+        self.ms = ms
+        self.ts = create_tracker_state(self.n_cams).replace(
+            pose=SE3(R=jnp.asarray(extras["pose_R"]),
+                     t=jnp.asarray(extras["pose_t"]))
+        )
+        self.initialized = bool(extras["initialized"])
+        self.mapmaker.reset(self.ms)
+        self.mapmaker.state = int(extras["mm_state"])
+        self.mapmaker.on_map_changed()
+
     # -- GUI-command analogues (ref src/System.cc:305-405) -----------------
     def parse_line(self, line: str):
         """GVars3 `GUI.ParseLine` analogue: one command string.

@@ -232,3 +232,29 @@ def test_gui_command_console(tmp_path):
     assert not sys_.initialized
     with pytest.raises(ValueError):
         sys_.parse_line("NoSuchCommand")
+
+
+def test_checkpoint_resume_continues_tracking(tmp_path):
+    """Full session checkpoint/resume — the capability the reference lacks
+    (its map.dat is write-only, src/MapMakerBase.cc:475-579): a NEW System
+    restores the session and keeps tracking without re-initializing."""
+    sys_a, cams, cfb = make_system()
+    traj = [SE3.exp(jnp.asarray([0.05 * i, 0.0, 0.03 * i, 0.0, 0.02 * i, 0.0]))
+            for i in range(7)]
+    for pose in traj[:5]:
+        info = sys_a.process_frame(render_rig(cams, cfb, pose, SEED, H, W))
+    assert not info.lost
+    ckpt = str(tmp_path / "session.npz")
+    sys_a.save(ckpt)
+
+    sys_b, _, _ = make_system()
+    sys_b.load(ckpt)
+    assert sys_b.initialized
+    assert int(jnp.sum(sys_b.ms.points.valid)) == int(jnp.sum(sys_a.ms.points.valid))
+    for pose in traj[5:]:
+        info = sys_b.process_frame(render_rig(cams, cfb, pose, SEED, H, W))
+        assert not info.lost
+    err_t = np.linalg.norm(info.pose[:, 3] - np.asarray(traj[-1].t))
+    assert err_t < 0.06, err_t
+    # the resumed session keeps building the map
+    assert info.n_mkfs >= 2
