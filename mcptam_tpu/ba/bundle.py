@@ -64,6 +64,18 @@ class BundleProblem:
     m_uv: jnp.ndarray        # (K,2) measured level-0 position
     m_level: jnp.ndarray     # (K,)
     m_valid: jnp.ndarray     # (K,) bool
+    # per-point source-KF chain indices (the reference parameterizes each
+    # point relative to its patch-source KF, src/BundleAdjusterMulti.cc:
+    # 55-203); used for the marginal depth covariance's radial direction.
+    # None (synthetic problems) falls back to chain (0, 0).
+    pt_src_a: jnp.ndarray = None   # (L,) int32 index into pose_a
+    pt_src_b: jnp.ndarray = None   # (L,) int32 index into pose_b
+    # set when the problem was compacted to a smaller static capacity
+    # (ba/adjusters.compact_problem): maps back into the original arrays
+    pt_index: jnp.ndarray = None    # (L,) int32 original point ids
+    pt_index_ok: jnp.ndarray = None  # (L,) bool slot occupied
+    m_index: jnp.ndarray = None     # (K,) int32 original measurement ids
+    m_index_ok: jnp.ndarray = None  # (K,) bool slot occupied
 
 
 @struct.dataclass
@@ -148,9 +160,9 @@ def _robust(e, ok, bcfg: BundleConfig):
     return w, cost, sigma_sq
 
 
-def _solve_delta(prob: BundleProblem, e, Ja, Jb, Jl, w, lam):
-    """One damped GN solve via Schur complement.  Returns (delta_a (Pa,6),
-    delta_b (Pb,6), delta_pt (L,3))."""
+def _normal_system(prob: BundleProblem, e, Ja, Jb, Jl, w):
+    """Accumulate the (undamped) normal equations: pose-pose Hessian
+    blocks, point diagonal V, pose-point cross blocks W, gradient terms."""
     Pa = prob.movable_a.shape[0]
     Pb = prob.movable_b.shape[0]
     P = Pa + Pb
@@ -188,6 +200,16 @@ def _solve_delta(prob: BundleProblem, e, Ja, Jb, Jl, w, lam):
     W = jnp.zeros((P, L, 6, 3)).at[gpose, pt2].add(
         jnp.einsum("k,kiv,kiw->kvw", w2, Jp2, jnp.concatenate([Jl, Jl], 0))
     )
+    return Hpp, b_p, V, b_l, W
+
+
+def _solve_delta(prob: BundleProblem, e, Ja, Jb, Jl, w, lam):
+    """One damped GN solve via Schur complement.  Returns (delta_a (Pa,6),
+    delta_b (Pb,6), delta_pt (L,3))."""
+    Pa = prob.movable_a.shape[0]
+    Pb = prob.movable_b.shape[0]
+    P = Pa + Pb
+    Hpp, b_p, V, b_l, W = _normal_system(prob, e, Ja, Jb, Jl, w)
 
     # LM damping on diagonals
     eyeP = jnp.eye(6)
@@ -326,29 +348,64 @@ def tukey_outlier_pass(prob: BundleProblem, st: LMState, cams: CameraModel):
 
 def point_depth_covariance(prob: BundleProblem, st: LMState,
                            cams: CameraModel):
-    """Approximate per-point radial depth variance: r^T V^-1 r with V the
-    point's information (poses held fixed).  The reference computes the
-    exact marginal via CHOLMOD and reports the median radial entry
-    (src/ChainBundle.cc:1414-1448); this proxy is monotone in the same
-    quantity and serves the same init-convergence gate.  Returns
-    (median_cov scalar, per-point cov (L,))."""
+    """Exact marginal inverse-depth variance per point, poses free.
+
+    The reference computes the true marginal point covariance via CHOLMOD
+    computeMarginals and reports the median (2,2) entry
+    (src/ChainBundle.cc:1414-1448).  Its points are parameterized as
+    (bearing beta, bearing alpha, inverse depth rho) in a frame rotated so
+    the point lies on the source camera's +z (VertexRelPoint,
+    src/ChainBundle.cc:222-349), so entry (2,2) is the VARIANCE OF THE
+    INVERSE DEPTH about the point's actual source-KF camera.  In world-XYZ
+    parameterization that is rho^4 * r^T Sigma_xyz r, with r the unit
+    radial from the source camera center to the point and Sigma_xyz the
+    marginal obtained by the Schur identity
+
+        Sigma_pt = V^-1 + V^-1 W^T S^-1 W V^-1
+
+    (S the reduced pose system, so pose uncertainty is propagated into the
+    points — NOT the poses-held-fixed proxy V^-1 alone).  Returns
+    (median scalar, per-point cov (L,))."""
     e, Ja, Jb, Jl, ok = _residuals_and_jacobians(
         prob, st.pose_a, st.pose_b, st.points, cams
     )
     w, _, _ = _robust(e, ok, DEFAULT_BUNDLE)
+    Pa = prob.movable_a.shape[0]
+    P = Pa + prob.movable_b.shape[0]
     L = prob.points.shape[0]
-    V = jnp.zeros((L, 3, 3)).at[prob.m_point].add(
-        jnp.einsum("k,kiv,kiw->kvw", w, Jl, Jl)
+    Hpp, _, V, _, W = _normal_system(prob, e, Ja, Jb, Jl, w)
+
+    Vinv = linalg.inv3(V + 1e-9 * jnp.eye(3)) * prob.movable_pt[:, None, None]
+    # reduced pose system S = Hpp - W Vinv W^T, fixed poses pinned to I
+    T = jnp.einsum("plvw,lwx->plvx", W, Vinv)              # (P,L,6,3)
+    S = Hpp - jnp.einsum("plvx,qlwx->pqvw", T, W)
+    movable = jnp.concatenate([prob.movable_a, prob.movable_b])
+    mvec = jnp.repeat(movable, 6).astype(jnp.float32)
+    Sf = S.transpose(0, 2, 1, 3).reshape(6 * P, 6 * P)
+    Sf = Sf * mvec[:, None] * mvec[None, :] + jnp.diag(1.0 - mvec)
+    Sinv = jnp.linalg.inv(Sf) * mvec[:, None] * mvec[None, :]
+    # back-substitution term: G = W^T Vinv flattened over pose coords
+    G = T.transpose(0, 2, 1, 3).reshape(6 * P, L, 3)       # (6P,L,3)
+    corr = jnp.einsum("alx,ab,bly->lxy", G, Sinv, G)       # (L,3,3)
+    Sigma = Vinv + corr
+
+    # radial direction + inverse depth about each point's ACTUAL source KF
+    ia = (
+        jnp.zeros(L, jnp.int32) if prob.pt_src_a is None else prob.pt_src_a
     )
-    Vinv = linalg.inv3(V + 1e-6 * jnp.eye(3))
-    # radial direction: from first-observing camera to point — approximate
-    # with the point's bearing from the origin-most pose_a; use unit pos
-    # relative to its source pose_a translation
-    src_pose = jax.tree_util.tree_map(lambda x: x[0], st.pose_a)
-    d = st.points - src_pose.inv().t[None, :]
-    n = jnp.linalg.norm(d, axis=-1, keepdims=True)
-    r = d / jnp.where(n < 1e-9, 1.0, n)
-    cov = jnp.einsum("li,lij,lj->l", r, Vinv, r)
+    ib = (
+        jnp.zeros(L, jnp.int32) if prob.pt_src_b is None else prob.pt_src_b
+    )
+    src_a = jax.tree_util.tree_map(lambda x: x[ia], st.pose_a)
+    src_b = jax.tree_util.tree_map(lambda x: x[ib], st.pose_b)
+    cam_from_world = src_b @ src_a                          # (L,) SE3
+    center_w = cam_from_world.inv().t                       # (L,3)
+    d = st.points - center_w
+    dist = jnp.linalg.norm(d, axis=-1)
+    r = d / jnp.maximum(dist, 1e-9)[:, None]
+    cov = jnp.einsum("li,lij,lj->l", r, Sigma, r) / jnp.maximum(
+        dist, 1e-9
+    ) ** 4
     has_obs = jnp.zeros(L, bool).at[prob.m_point].max(ok) & prob.movable_pt
     med = mest.masked_median_bisect(cov, has_obs)
     return med, cov

@@ -84,6 +84,10 @@ class TrackerConfig:
     quality_good: float = 0.3      # found/attempted ratio thresholds
     quality_bad: float = 0.13      # (reference src/Tracker.cc:1576-1658)
     lost_frame_thresh: int = 3
+    # DODGY demotes to BAD when the depth-scaled distance to the nearest
+    # MKF exceeds this (= 3 x sdMaxScaledMKFDist, ref
+    # src/MapMakerClientBase.cc:209-210)
+    excessive_mkf_dist: float = 0.3
     collect_all_points: bool = True
     tracking_prior: float = 100.0  # WLS prior (reference src/Tracker.cc:1391)
     mest_sigma_min: float = 0.4    # min sigma-squared floor
@@ -113,7 +117,9 @@ class MapMakerConfig:
 
     init_depth: float = 3.0
     min_map_points: int = 20
-    max_scaled_mkf_dist: float = 0.3
+    # sdMaxScaledMKFDist (ref src/MapMakerClientBase.cc:49); the effective
+    # threshold shrinks further by the map-size factor in need_new_mkf
+    max_scaled_mkf_dist: float = 0.1
     min_outliers: int = 20
     outlier_multiplier: float = 1.0
     init_cov_thresh: float = 1.0

@@ -120,7 +120,6 @@ def add_points(ms: MapState, cams: CameraModel, mkf_idx, cam_idx, level,
         bad=sc(pts.bad, jnp.zeros(Q, bool)),
         fixed=sc(pts.fixed, fixed),
         optimized=sc(pts.optimized, jnp.zeros(Q, bool)),
-        never_retry=sc(pts.never_retry, jnp.zeros(Q, bool)),
         src_mkf=sc(pts.src_mkf, jnp.broadcast_to(mkf_idx, (Q,)).astype(jnp.int32)),
         src_cam=sc(pts.src_cam, cam_idx.astype(jnp.int32)),
         src_level=sc(pts.src_level, level.astype(jnp.int32)),

@@ -187,11 +187,19 @@ def integrate_mkf(ms: MapState, cams: CameraModel, feats: FrameFeatures,
 
 
 def need_new_mkf(ms: MapState, pose: SE3, mean_depth,
-                 mcfg: MapMakerConfig = DEFAULT_MAPMAKER):
-    """Tracker's add-MKF heuristic: depth-scaled distance to the closest
-    MKF vs threshold (MapMakerClientBase::NeedNewMultiKeyFrame,
-    src/MapMakerClientBase.cc:111-152)."""
-    from mcptam_tpu.map.state import closest_mkf_distance
+                 mcfg: MapMakerConfig = DEFAULT_MAPMAKER,
+                 queue_dist=None):
+    """Tracker's add-MKF heuristic (MapMakerClientBase::NeedNewMultiKeyFrame,
+    src/MapMakerClientBase.cc:111-152): depth-scaled distance to the
+    closest MKF — in the map AND, if `queue_dist` is given, in the
+    map-maker queue — against sdMaxScaledMKFDist shrunk by a map-size
+    factor 1 - 1/(0.5 + n_mkfs) (n=2 counts as 1, per the reference)."""
+    from mcptam_tpu.map.state import closest_mkf_distance, count_mkfs
     d, idx = closest_mkf_distance(ms, pose, mean_depth)
+    if queue_dist is not None:
+        d = jnp.minimum(d, queue_dist)
     scaled = d / jnp.maximum(mean_depth, 1e-6)
-    return scaled > mcfg.max_scaled_mkf_dist, scaled
+    n = count_mkfs(ms)
+    n_eff = jnp.where(n == 2, 1, n).astype(jnp.float32)
+    thresh = mcfg.max_scaled_mkf_dist * (1.0 - 1.0 / (0.5 + n_eff))
+    return scaled > thresh, scaled

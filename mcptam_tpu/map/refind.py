@@ -40,9 +40,17 @@ def measurement_table(ms: MapState):
 
 def refind_in_keyframes(ms: MapState, cams: CameraModel,
                         target_mkf_mask=None,
-                        max_refinds: int = MAX_REFINDS) -> tuple:
+                        max_refinds: int = MAX_REFINDS,
+                        pair_mask=None) -> tuple:
     """Attempt refinds of all points in all KFs missing them (optionally
-    restricted to MKFs in target_mkf_mask).  Returns (ms, n_added)."""
+    restricted to MKFs in target_mkf_mask, or to explicit (KF, point)
+    pairs via pair_mask (M,C,N) — the failure-queue retry path,
+    ReFindFromFailureQueue, src/MapMakerServerBase.cc:1063-1080).
+
+    Pairs that are attempted and FAIL are marked never-retry, exactly as
+    every ReFind_Common failure path inserts into spNeverRetryKFs
+    (src/MapMakerServerBase.cc:921-1003); attempted pairs leave the
+    failure queue either way.  Returns (ms, n_added)."""
     M = ms.mkfs.capacity
     C = ms.cam_from_base.t.shape[0]
     N = ms.points.capacity
@@ -58,12 +66,23 @@ def refind_in_keyframes(ms: MapState, cams: CameraModel,
     uv, proj_ok = jax.vmap(lambda pc: jax.vmap(project)(cams, pc))(p_c)
 
     has = measurement_table(ms)
-    live = ms.points.valid & ~ms.points.bad & ~ms.points.never_retry
+    live = ms.points.valid & ~ms.points.bad
     cand = (
         proj_ok & ~has & live[None, None, :]
+        & ~ms.no_retry
         & target_mkf_mask[:, None, None]
         & ms.mkfs.kf_valid[:, :, None]
         & ms.mkfs.valid[:, None, None]
+    )
+    if pair_mask is not None:
+        cand = cand & pair_mask
+    # pairs whose projection already failed go straight to never-retry
+    # (ReFind_Common: invalid projection -> spNeverRetryKFs insert)
+    proj_dead = (
+        ~proj_ok & ~has & live[None, None, :]
+        & target_mkf_mask[:, None, None]
+        & ms.mkfs.kf_valid[:, :, None] & ms.mkfs.valid[:, None, None]
+        & (pair_mask if pair_mask is not None else True)
     )
 
     # pick up to max_refinds pairs
@@ -108,4 +127,11 @@ def refind_in_keyframes(ms: MapState, cams: CameraModel,
         source=jnp.full((K,), SRC_REFIND, jnp.int32),
         subpix=jnp.ones(K, bool),
     )
+    # bookkeeping: attempted-and-failed pairs never retry; every attempted
+    # pair (and every projection-dead pair) leaves the failure queue
+    failed = sel_ok & ~got
+    no_retry = ms.no_retry.at[mkf, cam, pt].max(failed) | proj_dead
+    attempted_tab = jnp.zeros((M, C, N), bool).at[mkf, cam, pt].max(sel_ok)
+    retry_q = ms.retry_queue & ~attempted_tab & ~proj_dead
+    ms = ms.replace(no_retry=no_retry, retry_queue=retry_q)
     return ms, jnp.sum(got)

@@ -45,7 +45,6 @@ class PointArrays:
     bad: jnp.ndarray          # (N,) flagged bad (pending deletion)
     fixed: jnp.ndarray        # (N,) e.g. calibration grid points
     optimized: jnp.ndarray    # (N,) has been through a BA at least once
-    never_retry: jnp.ndarray  # (N,) failed refind too often
     src_mkf: jnp.ndarray      # (N,) source keyframe ids
     src_cam: jnp.ndarray      # (N,)
     src_level: jnp.ndarray    # (N,)
@@ -113,6 +112,11 @@ class MapState:
     meas: MeasArrays
     cam_from_base: SE3        # (C,) rig extrinsics
     next_seq: jnp.ndarray     # scalar int32: next MKF sequence number
+    # per-(KF, point) refind bookkeeping, replacing the reference's
+    # MapMakerData::spNeverRetryKFs sets and mlFailureQueue
+    # (src/MapMakerServerBase.cc:921-1003,1063-1080,1198-1247):
+    no_retry: jnp.ndarray     # (M,C,N) pair failed a refind — never again
+    retry_queue: jnp.ndarray  # (M,C,N) outlier pair awaiting a 2nd chance
 
 
 def create_map_state(
@@ -130,7 +134,7 @@ def create_map_state(
     f = jnp.zeros
     points = PointArrays(
         pos_w=f((N, 3)), valid=f(N, bool), bad=f(N, bool), fixed=f(N, bool),
-        optimized=f(N, bool), never_retry=f(N, bool),
+        optimized=f(N, bool),
         src_mkf=f(N, jnp.int32), src_cam=f(N, jnp.int32),
         src_level=f(N, jnp.int32), center_xy=f((N, 2)),
         src_window=f((N, cfg.SRC_WINDOW, cfg.SRC_WINDOW), jnp.uint8),
@@ -158,6 +162,8 @@ def create_map_state(
     return MapState(
         points=points, mkfs=mkfs, meas=meas, cam_from_base=cam_from_base,
         next_seq=jnp.zeros((), jnp.int32),
+        no_retry=f((M, C, N), bool),
+        retry_queue=f((M, C, N), bool),
     )
 
 
@@ -335,4 +341,10 @@ def move_bad_points_to_trash(ms: MapState) -> MapState:
     )
     meas_dead = bad[ms.meas.point]
     meas = ms.meas.replace(valid=ms.meas.valid & ~meas_dead)
-    return ms.replace(points=pts, meas=meas)
+    # freed slots must not inherit stale refind bookkeeping when reused
+    keep = ~bad[None, None, :]
+    return ms.replace(
+        points=pts, meas=meas,
+        no_retry=ms.no_retry & keep,
+        retry_queue=ms.retry_queue & keep,
+    )

@@ -53,31 +53,44 @@ def load_map(path: str, template: MapState, with_extras: bool = False):
     return ms, extras
 
 
-def dump_cameras_ascii(path: str, cams, cam_from_base, H: int, W: int):
-    """cameras.dat analogue (ref SystemBase::DumpCamerasToFile,
-    src/SystemBase.cc:166-215): per camera the image size, the 9 Taylor
-    parameters (a0,a2,a3,a4 poly, center, affine c/d/e) and the
-    cam-from-base extrinsic."""
+def dump_cameras_ascii(path: str, cams, cam_from_base, H: int, W: int,
+                       names=None):
+    """cameras.dat in the reference's CSV layout (ref
+    SystemBase::DumpCamerasToFile, src/SystemBase.cc:166-215): a 3-line
+    comment header, a camera-count line, then per camera one CSV row of
+    name, image size (2), projection center (2), polynomial coefficients
+    a0, a1=0, a2, a3, a4 (5), affine c/d/e (3), then the variable-length
+    inverse-polynomial coefficients.  Like the reference, the inverse
+    poly is expressed on normalized theta (CenterAndScale with
+    theta mean/std, ref src/TaylorCamera.cc:262)."""
     C = int(cam_from_base.t.shape[0])
     with open(path, "w") as f:
-        f.write(f"% mcptam_tpu cameras dump\n% cameras {C}\n")
-        poly = np.asarray(cams.poly)           # (C,5) a0..a4 (a1=0)
+        f.write("% Camera calibration parameters, format:\n")
+        f.write("% Total number of cameras\n")
+        f.write(
+            "% Camera Name, image size (2 vector), projection center "
+            "(2 vector), polynomial coefficients (5 vector), affine matrix "
+            "components (3 vector), inverse polynomial coefficents "
+            "(variable size)\n"
+        )
+        f.write(f"{C}\n")
+        poly = np.asarray(cams.poly)           # (C,5) [a0, 0, a2, a3, a4]
         center = np.asarray(cams.center)       # (C,2)
         affine = np.asarray(cams.affine)       # (C,2,2) [[c,d],[e,1]]
+        inv_poly = np.asarray(cams.inv_poly)   # (C,L) zero-padded
         for c in range(C):
-            params = [
-                poly[c, 0], poly[c, 2], poly[c, 3], poly[c, 4],
-                center[c, 0], center[c, 1],
+            name = names[c] if names is not None else f"camera{c + 1}"
+            inv = inv_poly[c]
+            nz = np.nonzero(inv)[0]
+            inv = inv[: int(nz[-1]) + 1] if nz.size else inv[:1]
+            row = [
+                W, H, center[c, 0], center[c, 1],
+                poly[c, 0], 0, poly[c, 2], poly[c, 3], poly[c, 4],
                 affine[c, 0, 0], affine[c, 0, 1], affine[c, 1, 0],
+                *inv,
             ]
-            R = np.asarray(cam_from_base.R[c]).reshape(-1)
-            t = np.asarray(cam_from_base.t[c])
-            f.write(
-                f"cam {c} size {W} {H} params "
-                + " ".join(f"{v:.9g}" for v in params)
-                + " pose " + " ".join(f"{v:.9g}" for v in list(R) + list(t))
-                + "\n"
-            )
+            f.write(name + ", " + ", ".join(f"{v:.9g}" for v in row) + "\n")
+        f.write("% The end")
 
 
 def dump_map_ascii(path: str, ms: MapState):

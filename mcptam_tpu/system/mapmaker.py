@@ -26,7 +26,10 @@ from mcptam_tpu.config import MapMakerConfig, BundleConfig, DEFAULT_MAPMAKER, DE
 from mcptam_tpu.map.state import MapState, move_bad_points_to_trash
 from mcptam_tpu.map.mapmaker_core import init_from_mkf, integrate_mkf
 from mcptam_tpu.map.refind import refind_in_keyframes
-from mcptam_tpu.ba.adjusters import problem_all, problem_recent, writeback, apply_outliers
+from mcptam_tpu.ba.adjusters import (
+    problem_all, problem_recent, writeback, apply_outliers,
+    compact_problem, expand_outliers,
+)
 from mcptam_tpu.ba.bundle import (
     create_lm_state, lm_run, tukey_outlier_pass, point_depth_covariance,
 )
@@ -68,11 +71,21 @@ class MapMaker:
 
     # -- tracker-facing API (MapMakerClientBase analogue) ------------------
     def init(self, ms: MapState, feats, pose):
-        """Blocking map init from the first MKF (ref MapMaker::Init)."""
-        ms, _ = init_from_mkf(ms, self.cams, feats, pose, self.mcfg)
+        """Blocking map init from the first MKF (ref MapMaker::Init).
+
+        Returns (ms, ok).  Like the reference (InitFromMultiKeyFrame,
+        src/MapMakerServerBase.cc:146-261, snMinMapPoints), init FAILS —
+        map left untouched, ok=False — when fewer than
+        mcfg.min_map_points points could be triangulated; the caller
+        retries on a later frame."""
+        from mcptam_tpu.map.state import count_points
+        ms2, _ = init_from_mkf(ms, self.cams, feats, pose, self.mcfg)
+        n = int(jax.device_get(count_points(ms2)))
+        if n < self.mcfg.min_map_points:
+            return ms, False
         self.state = MM_INITIALIZING
         self._reset_ba()
-        return ms
+        return ms2, True
 
     def add_mkf(self, feats, pose, tracker_result, cam_active=None):
         """Queue an MKF; preempts BA at the next chunk (ref AddMultiKeyFrame
@@ -124,24 +137,47 @@ class MapMaker:
         # 2. advance bundle adjustment
         if self._ba_kind == "none":
             if not self._local_done:
+                # local BA only once the map is big enough
+                # (snRecentMinSize, ref src/BundleAdjusterBase.cc:195-200:
+                # below it, mark local converged and fall through to global)
+                from mcptam_tpu.map.state import count_mkfs
+                if int(jax.device_get(count_mkfs(ms))) \
+                        < self.bcfg.recent_min_size:
+                    self._local_done = True
+                    return self.step(ms)
                 self._ba_kind = "local"
-                self._ba_prob = problem_recent(ms, self.bcfg.recent_num)
+                # compacted local problem: LM step cost independent of the
+                # total map size (edges restricted to the local set, ref
+                # src/BundleAdjusterBase.cc:188-265)
+                self._ba_prob = compact_problem(
+                    problem_recent(ms, self.bcfg.recent_num)
+                )
             elif not self._global_done:
                 self._ba_kind = "global"
                 self._ba_prob = problem_all(ms)
             else:
-                # idle: trash GC + periodic refind sweep over all KFs
-                # (ReFindNewlyMade / ReFindFromFailureQueue analogue — the
-                # reference retries the failure queue 1-in-20 loops,
-                # src/MapMaker.cc:270-276)
+                # idle: trash GC + periodic refinds.  The failure queue
+                # (outlier pairs awaiting a second chance) is retried as a
+                # distinct pass 1-in-20 loops, like ReFindFromFailureQueue
+                # (src/MapMaker.cc:270-276); the general sweep
+                # (ReFindNewlyMade analogue) runs on the other half of the
+                # schedule.  Pairs that fail either pass become
+                # never-retry inside refind_in_keyframes.
                 ms = move_bad_points_to_trash(ms)
                 self._idle_ticks += 1
-                if self._idle_ticks % 20 == 0:
+                n_refound = 0
+                if self._idle_ticks % 20 == 10:
                     ms, n_refound = refind_in_keyframes(ms, self.cams)
-                    if int(n_refound) > 0:
-                        # new measurements -> re-run BA
-                        self._local_done = False
-                        self._global_done = False
+                elif self._idle_ticks % 20 == 0 and bool(
+                    jax.device_get(jnp.any(ms.retry_queue))
+                ):
+                    ms, n_refound = refind_in_keyframes(
+                        ms, self.cams, pair_mask=ms.retry_queue
+                    )
+                if int(n_refound) > 0:
+                    # new measurements -> re-run BA
+                    self._local_done = False
+                    self._global_done = False
                 return ms
             self._ba_state = create_lm_state(self._ba_prob, self.bcfg)
             self._ba_steps = 0
@@ -158,7 +194,9 @@ class MapMaker:
                 outliers = tukey_outlier_pass(
                     self._ba_prob, self._ba_state, self.cams
                 )
-                ms = apply_outliers(ms, outliers)
+                ms = apply_outliers(ms, expand_outliers(
+                    self._ba_prob, outliers, ms.meas.capacity
+                ))
                 self.failed_ba_count = 0
             else:
                 self.failed_ba_count += 1

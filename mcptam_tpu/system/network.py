@@ -202,7 +202,7 @@ class _ResultView:
 # ---------------------------------------------------------------------------
 
 _POINT_FIELDS = [
-    "pos_w", "valid", "bad", "fixed", "optimized", "never_retry", "src_mkf",
+    "pos_w", "valid", "bad", "fixed", "optimized", "src_mkf",
     "src_cam", "src_level", "center_xy", "src_window", "src_window_ok",
     "center_nc", "right_nc", "down_nc",
     "pixel_right_w", "pixel_down_w", "in_count", "out_count",
@@ -268,9 +268,11 @@ class MapMakerClient:
         self.init_point_cov = float("inf")
         self.queue = []
 
-    def init(self, ms: MapState, feats, pose) -> MapState:
+    def init(self, ms: MapState, feats, pose):
         """Blocking INIT (the reference's CallInit blocks until the server
-        built the first points, src/MapMakerClient.cc:181)."""
+        built the first points, src/MapMakerClient.cc:181).  Returns
+        (ms, ok) — ok=False when the server's init failed to triangulate
+        any points (snMinMapPoints gate server-side)."""
         ms, mkf_idx, _ = commit_mkf(ms, feats, pose, fixed=True)
         self.channel.send(ACTION_INIT, feats_to_arrays(feats, pose))
         # wait for the first UPDATE
@@ -281,7 +283,10 @@ class MapMakerClient:
                 continue
             action, d = msg
             if action == ACTION_UPDATE:
-                return apply_map_update(ms, d)
+                from mcptam_tpu.map.state import count_points
+                ms = apply_map_update(ms, d)
+                ok = int(jax.device_get(count_points(ms))) > 0
+                return ms, ok
             if action == ACTION_STATE:
                 self._apply_state(d)
         raise TimeoutError("server did not answer INIT")
@@ -351,6 +356,16 @@ class MapMakerClient:
                 # server-side BA failure chain (MapMakerServerBase::
                 # RequestResetInternal -> client reset service)
                 self._server_reset = True
+
+        # 3. tracker-flagged bad points: DELETE to the server + local trash
+        # GC (ref MapMakerClient::HandleBadPoints -> SendDelete,
+        # src/MapMakerClient.cc:158-181)
+        any_bad = bool(jax.device_get(jnp.any(ms.points.bad & ms.points.valid)))
+        if any_bad:
+            bad = np.asarray(jax.device_get(ms.points.bad & ms.points.valid))
+            self.send_deletes(np.nonzero(bad)[0])
+            from mcptam_tpu.map.state import move_bad_points_to_trash
+            ms = move_bad_points_to_trash(ms)
         return ms
 
 
@@ -382,7 +397,7 @@ class MapServer:
         from mcptam_tpu.map.state import create_map_state
         if action == ACTION_INIT:
             feats, pose = arrays_to_feats(d)
-            self.ms = self.mapmaker.init(self.ms, feats, pose)
+            self.ms, _ = self.mapmaker.init(self.ms, feats, pose)
             self.channel.send(ACTION_UPDATE, map_update_arrays(self.ms))
             self._send_state()
         elif action == ACTION_ADD:

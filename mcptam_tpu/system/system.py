@@ -35,10 +35,28 @@ from mcptam_tpu.system.mapmaker import MapMaker, MM_INITIALIZING, MM_RUNNING
 from mcptam_tpu.system.timing import TrackerTiming, SystemInfo, Stopwatch
 
 
+def publish_pose_cov(pose34: np.ndarray, cov: np.ndarray,
+                     quality: int) -> np.ndarray:
+    """The published pose covariance (ref PublishPose,
+    src/SystemFrontendBase.cc:160-197): cross-correlation cleared, both
+    3x3 blocks rotated from the base frame into the world frame, then
+    inflated by tracking grade — x1e2 GOOD, x1e5 DODGY, x1e8 BAD."""
+    R = np.asarray(pose34[:, :3]).T       # world_from_base rotation
+    c = np.array(cov, dtype=np.float64)
+    c[:3, 3:] = 0.0
+    c[3:, :3] = 0.0
+    c[:3, :3] = R @ c[:3, :3] @ R.T
+    c[3:, 3:] = R @ c[3:, 3:] @ R.T
+    scale = (1e2, 1e5, 1e8)[int(quality)]  # GOOD, DODGY, BAD
+    return c * scale
+
+
 @dataclass
 class FrameInfo:
     pose: np.ndarray          # (3,4) base_from_world
-    cov: np.ndarray           # (6,6)
+    cov: np.ndarray           # (6,6) world-frame, quality-inflated (see
+                              # publish_pose_cov); raw H^-1 in cov_raw
+    cov_raw: np.ndarray       # (6,6) tracker H^-1 in the base frame
     quality: int
     lost: bool
     relocalized: bool
@@ -202,10 +220,13 @@ class System:
         added = False
 
         if not self.initialized:
-            # request-init semantics: first frame bootstraps the map
-            self.ms = self.mapmaker.init(self.ms, feats, self.ts.pose)
-            self.initialized = True
-            self.mapmaker.on_map_changed()
+            # request-init semantics: first frame bootstraps the map; init
+            # FAILS when too few points triangulate (< mm_min_map_points,
+            # ref src/MapMakerServerBase.cc:146-261) and retries next frame
+            self.ms, ok = self.mapmaker.init(self.ms, feats, self.ts.pose)
+            if ok:
+                self.initialized = True
+                self.mapmaker.on_map_changed()
 
         self.ts, self.ms, res, add_flag = self._step_fn(
             self.ts, self.ms, feats, cam_active
@@ -229,14 +250,15 @@ class System:
 
         # MKF-add heuristics (ref src/Tracker.cc:468-488): good quality,
         # map maker idle, far enough from the nearest keyframe — quality /
-        # lost / distance already folded into add_flag on device
+        # lost / distance already folded into add_flag on device.  A
+        # ManualAddMKF request persists until an MKF is actually added
+        # (ref mbAddNext, src/Tracker.cc:470-487).
         force_add = self._force_add_next and not lost
-        if force_add:
-            self._force_add_next = False
         if (
             (self.vars["AddingMKFs"] and add_flag or force_add)
             and self.mapmaker.queue_size() == 0
         ):
+            self._force_add_next = False
             # temporal candidate stability pruning before the frame
             # becomes a keyframe (ref MakeKeyFrame_Rest's MiniPatch
             # round-trip test, src/KeyFrame.cc:456-529)
@@ -280,7 +302,8 @@ class System:
         )
         return FrameInfo(
             pose=pose34,
-            cov=np.asarray(cov),
+            cov=publish_pose_cov(pose34, cov, int(quality)),
+            cov_raw=np.asarray(cov),
             quality=int(quality),
             lost=bool(lost),
             relocalized=relocalized,
@@ -324,6 +347,14 @@ class System:
         self.mapmaker.reset(self.ms)
         self.mapmaker.state = int(extras["mm_state"])
         self.mapmaker.on_map_changed()
+        # clear per-session latches so a restore on a used System starts
+        # clean: stale features/results from the pre-load session must not
+        # feed the candidate filter or the monitor image
+        self._prev_feats = None
+        self._last_result = None
+        self._force_add_next = False
+        self.done = False
+        self._kf_view = 0
 
     # -- GUI-command analogues (ref src/System.cc:305-405) -----------------
     def parse_line(self, line: str):
@@ -340,6 +371,10 @@ class System:
             return
         if "=" in line and " " not in line.split("=", 1)[0]:
             name, value = (s.strip() for s in line.split("=", 1))
+            if name not in self.vars:
+                raise KeyError(
+                    f"unknown var {name!r}; have {sorted(self.vars)}"
+                )
             cur = self.vars[name]
             if isinstance(cur, bool):
                 value = value.lower() in ("1", "true", "yes", "on")
@@ -356,10 +391,13 @@ class System:
         elif cmd == "Reset":
             self.reset()
         elif cmd == "InitTracker":
-            # re-bootstrap the map from the next frame (ref RequestInit)
-            if not self.initialized:
-                return
-            self.reset(keep_pose=True)
+            # RequestInit only sets a flag consumed by TrackForInitialMap,
+            # which runs only when no good map exists (ref
+            # src/Tracker.cc:625-631) — on a running, initialized system
+            # this is a harmless no-op, never a map wipe.  Here the map
+            # bootstraps automatically on the first frame, so there is
+            # nothing to request when uninitialized either.
+            pass
         elif cmd == "ShowNextKeyFrame":
             self._kf_view += 1
         elif cmd == "ShowPrevKeyFrame":

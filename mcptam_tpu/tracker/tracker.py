@@ -492,22 +492,6 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
     cov = jnp.linalg.pinv(H)
     outlier = ff_found & (w_final <= 0.0)
 
-    # ---- 6. quality
-    attempted = jnp.zeros((C,)).at[f_cam].add(f_ok.astype(jnp.float32))
-    found_per_cam = jnp.zeros((C,)).at[f_cam].add(ff_found.astype(jnp.float32))
-    ratio = found_per_cam / jnp.maximum(attempted, 1.0)
-    q_cam = jnp.where(
-        ratio > tcfg.quality_good,
-        QUALITY_GOOD,
-        jnp.where(ratio > tcfg.quality_bad, QUALITY_DODGY, QUALITY_BAD),
-    )
-    q_cam = jnp.where(attempted > 0, q_cam, QUALITY_BAD)
-    quality = jnp.min(q_cam)  # overall = best camera (ref: overall max grade)
-    lost_count = jnp.where(
-        quality == QUALITY_BAD, ts.lost_count + 1, jnp.zeros((), jnp.int32)
-    )
-    lost = lost_count >= tcfg.lost_frame_thresh
-
     # ---- scene depth per camera from found fine points
     cfb = ms.cam_from_base
     p_base = pose_new.apply(ms.points.pos_w[f_pt])
@@ -518,6 +502,65 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
     mean_depth, depth_sigma = robust_mean_depth(
         jnp.broadcast_to(depth[None, :], depth_mask.shape), depth_mask
     )
+
+    # ---- 6. quality (ref AssessTrackingQuality, src/Tracker.cc:1613-1658)
+    f_okf = f_ok.astype(jnp.float32)
+    ff_foundf = ff_found.astype(jnp.float32)
+    attempted = jnp.zeros((C,)).at[f_cam].add(f_okf)
+    found_per_cam = jnp.zeros((C,)).at[f_cam].add(ff_foundf)
+    # large-level (>= 2) tallies drive the BAD cut when enough large
+    # patches were attempted; otherwise fall back to the total fraction
+    large = (f_lvl >= 2).astype(jnp.float32)
+    large_att = jnp.zeros((C,)).at[f_cam].add(f_okf * large)
+    large_found = jnp.zeros((C,)).at[f_cam].add(ff_foundf * large)
+    total_frac = found_per_cam / jnp.maximum(attempted, 1.0)
+    large_frac = jnp.where(
+        large_att > tcfg.coarse_min,
+        large_found / jnp.maximum(large_att, 1.0),
+        total_frac,
+    )
+    q_cam = jnp.where(
+        total_frac > tcfg.quality_good,
+        QUALITY_GOOD,
+        jnp.where(large_frac < tcfg.quality_bad, QUALITY_BAD, QUALITY_DODGY),
+    )
+    # min-found gate: nTotalFound < snMinPatchesPerFrame -> BAD
+    q_cam = jnp.where(
+        found_per_cam < tcfg.min_patches_per_frame, QUALITY_BAD, q_cam
+    )
+    quality = jnp.min(q_cam)  # overall = best camera (ref: overall max grade)
+    # DODGY demotes to BAD when the pose ran excessively far from the
+    # nearest MKF (ref AssessOverallTrackingQuality + MapMakerClientBase::
+    # IsDistanceToNearestMultiKeyFrameExcessive, src/Tracker.cc:1589-1596,
+    # src/MapMakerClientBase.cc:203-211: distance scaled by the CLOSEST
+    # MKF's scene depth, limit = 3 x sdMaxScaledMKFDist)
+    from mcptam_tpu.map.state import closest_mkf_distance
+    has_depth = (found_per_cam > 0).astype(jnp.float32)
+    cur_depth = jnp.sum(mean_depth * has_depth) / jnp.maximum(
+        jnp.sum(has_depth), 1.0
+    )
+    d_near, ci = closest_mkf_distance(ms, pose_new, cur_depth)
+    closest_depth = jnp.sum(
+        jnp.where(ms.mkfs.kf_valid[ci], ms.mkfs.scene_depth_mean[ci], 0.0)
+    ) / jnp.maximum(jnp.sum(ms.mkfs.kf_valid[ci].astype(jnp.float32)), 1.0)
+    excessive = (
+        d_near / jnp.maximum(closest_depth, 1e-6) > tcfg.excessive_mkf_dist
+    )
+    quality = jnp.where(
+        (quality == QUALITY_DODGY) & excessive, QUALITY_BAD, quality
+    )
+    # lost counter: +1 on BAD (clamped at the threshold), -1 on GOOD
+    # (clamped at 0), unchanged on DODGY (src/Tracker.cc:1597-1609)
+    lost_count = jnp.where(
+        quality == QUALITY_BAD,
+        jnp.minimum(ts.lost_count + 1, tcfg.lost_frame_thresh),
+        jnp.where(
+            quality == QUALITY_GOOD,
+            jnp.maximum(ts.lost_count - 1, 0),
+            ts.lost_count,
+        ),
+    ).astype(jnp.int32)
+    lost = lost_count >= tcfg.lost_frame_thresh
 
     # ---- motion model update (ref UpdateMotionModel)
     delta = (pose_new @ ts.pose.inv()).ln()

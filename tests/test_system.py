@@ -109,6 +109,13 @@ def test_ba_failure_reset_dumps_fail_map(ran_system, tmp_path):
     path = str(tmp_path / "fail_map.dat")
     sys_.mcfg = dataclasses.replace(sys_.mcfg, fail_dump_path=path)
     sys_.mapmaker.failed_ba_count = sys_.mcfg.max_consecutive_failed_ba
+    # park the BA schedule (including any in-flight run): a successful BA
+    # round during the next tick would legitimately clear the failure
+    # counter (as in the reference, src/MapMaker.cc:216-224 — only
+    # CONSECUTIVE failures reset)
+    sys_.mapmaker._reset_ba()
+    sys_.mapmaker._local_done = True
+    sys_.mapmaker._global_done = True
     info = sys_.process_frame(images)
     import os
     assert os.path.exists(path)
@@ -195,8 +202,16 @@ def test_gui_command_console(tmp_path):
     mp, cp = str(tmp_path / "map.dat"), str(tmp_path / "cameras.dat")
     sys_.parse_line(f"ExportMapToFile {mp} {cp}")
     assert "point" in open(mp).read()
-    cam_text = open(cp).read()
-    assert "params" in cam_text and f"size {W} {H}" in cam_text
+    # reference CSV layout (SystemBase.cc:166-215): 3 comment lines, a
+    # count line, then per-camera CSV rows of name, W, H, center, poly
+    # (with explicit a1=0), affine, inverse poly
+    cam_lines = open(cp).read().splitlines()
+    assert cam_lines[3] == str(sys_.n_cams)
+    row = cam_lines[4].split(", ")
+    assert row[1] == str(W) and row[2] == str(H)
+    assert float(row[6]) == 0.0          # a1 written explicitly as 0
+    assert len(row) >= 13                # ... + at least one invpoly coeff
+    assert cam_lines[-1] == "% The end"
 
     # ScaleMapUp doubles the map scale (ref RequestRescaling(2.0))
     t_before = np.asarray(sys_.ms.points.pos_w).copy()
