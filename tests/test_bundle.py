@@ -189,3 +189,104 @@ def test_lm_step_jits(rng):
     f = jax.jit(lambda p, s: lm_step(p, s, cams))
     st2 = f(prob, st)
     assert np.isfinite(float(st2.cost))
+
+
+def test_marginal_covariance_matches_dense_oracle(rng):
+    """The Schur-identity marginal (point_depth_covariance) must equal the
+    point marginal of the full dense inverse — the quantity the reference
+    obtains from CHOLMOD computeMarginals (src/ChainBundle.cc:1414-1448),
+    expressed as inverse-depth variance about the source camera."""
+    from mcptam_tpu.ba.bundle import _robust, _normal_system
+    from mcptam_tpu.config import DEFAULT_BUNDLE
+
+    prob, cams, *_ = build_problem(rng, n_poses=2, n_points=24, n_cams=2,
+                                   noise_px=0.3)
+    st = create_lm_state(prob)
+    st = lm_run(prob, st, cams, 15)
+    med, cov = point_depth_covariance(prob, st, cams)
+
+    # dense oracle: assemble H over [movable pose coords | point coords],
+    # invert, read off per-point 3x3 marginals
+    e, Ja, Jb, Jl, ok = _residuals_and_jacobians(
+        prob, st.pose_a, st.pose_b, st.points, cams
+    )
+    w, _, _ = _robust(e, ok, DEFAULT_BUNDLE)
+    K = e.shape[0]
+    L = prob.points.shape[0]
+    n_pose = 6  # one movable pose (pose 0 fixed, cams fixed)
+    J = np.zeros((2 * K, n_pose + 3 * L))
+    Ja_n, Jl_n = np.asarray(Ja), np.asarray(Jl)
+    wn = np.sqrt(np.asarray(w))
+    pa = np.asarray(prob.m_pose_a)
+    pt = np.asarray(prob.m_point)
+    for k in range(K):
+        if pa[k] == 1:
+            J[2 * k:2 * k + 2, :6] = Ja_n[k] * wn[k]
+        J[2 * k:2 * k + 2, n_pose + 3 * pt[k]:n_pose + 3 * pt[k] + 3] = (
+            Jl_n[k] * wn[k]
+        )
+    Hfull = J.T @ J
+    Sigma_full = np.linalg.inv(Hfull + 1e-9 * np.eye(Hfull.shape[0]))
+
+    pts = np.asarray(st.points)
+    c0 = np.asarray(st.pose_b[0].inv().t + 0.0)  # src chain (0,0): cam0@pose0
+    src = np.asarray((st.pose_b[0] @ st.pose_a[0]).inv().t)
+    oracle = np.zeros(L)
+    for l in range(L):
+        S3 = Sigma_full[n_pose + 3 * l:n_pose + 3 * l + 3,
+                        n_pose + 3 * l:n_pose + 3 * l + 3]
+        d = pts[l] - src
+        dist = np.linalg.norm(d)
+        r = d / dist
+        oracle[l] = r @ S3 @ r / dist ** 4
+    got = np.asarray(cov)
+    rel = np.abs(got - oracle) / np.maximum(oracle, 1e-20)
+    assert np.median(rel) < 0.02, (np.median(rel), got[:4], oracle[:4])
+    # and the exact marginal must exceed the poses-fixed lower bound
+    assert float(med) > 0
+
+
+def test_compact_problem_equivalent(rng):
+    """Compacting a problem to smaller static capacities must not change
+    the problem (same edges, remapped indices): identical robust cost /
+    sigma at the same state, and LM converges to the same optimum.  (LM
+    *trajectories* can differ bitwise — f32 reduction order across the
+    reindexed scatter-adds shifts accept/reject decisions — so the
+    trajectory itself is not asserted.)"""
+    from mcptam_tpu.ba.adjusters import compact_problem
+    from mcptam_tpu.ba.bundle import _robust
+    from mcptam_tpu.config import DEFAULT_BUNDLE
+
+    prob, cams, pose_gt, pts_gt, _ = build_problem(
+        rng, n_poses=3, n_points=50, n_cams=2, noise_px=0.0, perturb=0.01
+    )
+    small = compact_problem(prob, max_points=64, max_meas=512)
+    assert small.points.shape[0] == 64
+    assert int(jnp.sum(small.m_valid)) == int(jnp.sum(prob.m_valid))
+
+    # deterministic equivalence at the initial state: same residual set
+    # => same robust cost and adaptive-Huber sigma
+    for p in (prob, small):
+        st0 = create_lm_state(p)
+        e, _, _, _, ok = _residuals_and_jacobians(
+            p, st0.pose_a, st0.pose_b, st0.points, cams
+        )
+        _, cost, sig = _robust(e, ok, DEFAULT_BUNDLE)
+        if p is prob:
+            cost_full, sig_full = float(cost), float(sig)
+        else:
+            assert abs(float(cost) - cost_full) / cost_full < 1e-5
+            assert abs(float(sig) - sig_full) / sig_full < 1e-5
+
+    # both reach the (noiseless) global optimum: ground-truth poses/points
+    st_small = lm_run(small, create_lm_state(small), cams, 40)
+    for p in range(1, 3):
+        err = np.asarray((st_small.pose_a[p] @ pose_gt[p].inv()).ln())
+        assert np.linalg.norm(err) < 5e-3, (p, err)
+    idx = np.asarray(small.pt_index)
+    okp = np.asarray(small.pt_index_ok) & np.asarray(small.movable_pt)
+    perr = np.linalg.norm(
+        np.asarray(st_small.points)[okp] - np.asarray(pts_gt)[idx[okp]],
+        axis=-1,
+    )
+    assert np.median(perr) < 1e-2
