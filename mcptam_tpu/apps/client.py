@@ -19,16 +19,23 @@ def main(argv=None):
     add_platform_arg(p)
     add_rig_video_args(p)
     p.add_argument("--server", required=True, help="host:port of map server")
+    p.add_argument("--max-points", type=int, default=None)
+    p.add_argument("--max-mkfs", type=int, default=None)
+    p.add_argument("--max-meas", type=int, default=None)
     args = p.parse_args(argv)
     ensure_jax_platform(args.platform)
 
+    from mcptam_tpu.config import MAX_POINTS, MAX_MKFS, MAX_MEAS
     from mcptam_tpu.system.client import SystemClient
 
     cams, cam_from_base, cams_sbi, H, W, masks, names, frames = \
         build_system_inputs(args)
     host, port = args.server.rsplit(":", 1)
     system = SystemClient(
-        cams, cam_from_base, cams_sbi, H, W, host, int(port), masks=masks
+        cams, cam_from_base, cams_sbi, H, W, host, int(port), masks=masks,
+        max_points=args.max_points or MAX_POINTS,
+        max_mkfs=args.max_mkfs or MAX_MKFS,
+        max_meas=args.max_meas or MAX_MEAS,
     )
     run_tracking_loop(system, frames, args.fps)
     system.close()

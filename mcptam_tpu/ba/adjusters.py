@@ -190,6 +190,25 @@ def expand_outliers(prob: BundleProblem, outlier_mask, full_K: int):
     )
 
 
+def problem_single(ms: MapState) -> BundleProblem:
+    """Independent-pose BA (BundleAdjusterSingle,
+    src/BundleAdjusterSingle.cc:55-120): every valid, non-fixed MKF base
+    moves freely.  Used by the pose-calibration map build, where the map
+    holds one single-camera MKF per dropped keyframe with identity
+    extrinsics, so each base IS an independent camera-from-world pose.
+    Unlike problem_all the first MKF is NOT pinned: the board-anchored
+    FIXED points carry the gauge (the reference sets mbFixed=false on the
+    init MKF, src/MapMakerCalib.cc:72-80)."""
+    movable_a = ms.mkfs.valid & ~ms.mkfs.fixed
+    C = ms.cam_from_base.t.shape[0]
+    movable_b = jnp.zeros((C,), bool)
+    counts = _meas_counts_per_point(ms)
+    movable_pt = (
+        ms.points.valid & ~ms.points.bad & ~ms.points.fixed & (counts >= 2)
+    )
+    return _base_problem(ms, movable_a, movable_b, movable_pt)
+
+
 def problem_calib(ms: MapState) -> BundleProblem:
     """Extrinsic-calibration BA: shared cam-from-base poses movable
     (camera 0 = reference, fixed), MKF bases movable except first

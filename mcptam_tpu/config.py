@@ -89,6 +89,9 @@ class TrackerConfig:
     # src/MapMakerClientBase.cc:209-210)
     excessive_mkf_dist: float = 0.3
     collect_all_points: bool = True
+    # ZMSSD acceptance budget per template pixel (snMaxSSDPerPixel,
+    # src/PatchFinder.cc:44: 250 default, 500 in calibrator mode)
+    max_ssd_per_pixel: float = 250.0
     tracking_prior: float = 100.0  # WLS prior (reference src/Tracker.cc:1391)
     mest_sigma_min: float = 0.4    # min sigma-squared floor
     use_sbi_rotation: bool = True  # SBI-ESM rotation in the motion model
@@ -128,9 +131,16 @@ class MapMakerConfig:
     # ASCII format first (ref fail_map.dat, src/MapMakerBase.cc:143-148);
     # empty = disabled
     fail_dump_path: str = ""
-    # epipolar search
-    epi_max_hypotheses: int = 64   # arc samples (ref steps arc at ~3px)
+    # epipolar search: arc samples per candidate (the reference instead
+    # steps the arc at ~3 px via OnePixelAngle; static here for XLA)
+    epi_max_hypotheses: int = 32
     max_new_points_per_level: tuple = (100, 100, 100, 100)
+    # reject a new MKF if no level>=2 point could be triangulated against
+    # the map (sbLargePointTest, src/MapMakerServerBase.cc:63,374,397-401)
+    large_point_test: bool = True
+    # candidate thinning radius in level px near existing measurements
+    # (ThinCandidates, src/MapMakerServerBase.cc:411-447)
+    thin_radius: float = 10.0
     # runtime-mutable GUI variables in the reference (GVars3,
     # src/System.cc:114-131): epipolar partner = other camera vs temporal
     # same-camera; whether level-0 candidates become map points

@@ -65,13 +65,17 @@ def triangulate_midpoint(o1, d1, o2, d2):
 def epipolar_match(ms: MapState, cams: CameraModel,
                    src_mkf, src_cam, tgt_mkf, tgt_cam,
                    level, xy_level, want,
-                   max_ssd: float = MAX_SSD):
+                   max_ssd: float = MAX_SSD,
+                   n_hypotheses: int = N_HYPOTHESES):
     """Batched epipolar candidate matching.
 
     All index args are (Q,) arrays; xy_level is (Q,2) source-level coords.
+    n_hypotheses: static arc sample count (the mm_epi_max_hypotheses knob —
+    the reference instead steps the arc at ~3 px via OnePixelAngle).
     Returns dict with per-candidate: ok, world position pos_w (Q,3), the
     target subpixel measurement uv_tgt (Q,2), target search level.
     """
+    NH = n_hypotheses
     kcw = kf_cam_from_world(ms)  # (M,C) SE3
 
     def one(src_mkf, src_cam, tgt_mkf, tgt_cam, level, xy, want):
@@ -124,8 +128,8 @@ def epipolar_match(ms: MapState, cams: CameraModel,
         # NH static hypotheses along the arc (ref steps at one_pixel_angle *
         # levelscale * 3; we spread the same span over a fixed count)
         angles = (
-            jnp.arange(N_HYPOTHESES, dtype=jnp.float32)
-            / (N_HYPOTHESES - 1.0) * max_angle
+            jnp.arange(NH, dtype=jnp.float32)
+            / (NH - 1.0) * max_angle
         )
         cpt = jnp.stack([jnp.cos(angles), jnp.sin(angles)], -1)  # (NH,2)
         alpha_den = ray_dir_p[1] * cpt[:, 0] - ray_dir_p[0] * cpt[:, 1]
@@ -187,7 +191,7 @@ def epipolar_match(ms: MapState, cams: CameraModel,
         # ambiguity (ref :798-825): all matches within 10% of best must be
         # within 1 hypothesis index of it, and at most 3 such
         close = hyp_ok & (hyp_ssd <= best_ssd * 1.1 + 1e-6)
-        idx = jnp.arange(N_HYPOTHESES)
+        idx = jnp.arange(NH)
         far_close = close & (jnp.abs(idx - best) > 1)
         unambiguous = (jnp.sum(far_close) == 0) & (jnp.sum(close) <= 3)
 
@@ -215,14 +219,15 @@ def epipolar_match(ms: MapState, cams: CameraModel,
 
 def create_epipolar_points(ms: MapState, cams: CameraModel,
                            src_mkf, src_cam, tgt_mkf, tgt_cam,
-                           level, xy_level, want, max_ssd: float = MAX_SSD):
+                           level, xy_level, want, max_ssd: float = MAX_SSD,
+                           n_hypotheses: int = N_HYPOTHESES):
     """Run epipolar matching and commit the successful candidates as map
     points with ROOT(source) + EPIPOLAR(target) measurements."""
     from mcptam_tpu.map.builder import add_points, add_measurements
 
     ok, pos_w, uv_tgt, tgt_level = epipolar_match(
         ms, cams, src_mkf, src_cam, tgt_mkf, tgt_cam, level, xy_level, want,
-        max_ssd,
+        max_ssd, n_hypotheses,
     )
     ms, slots, created = add_points(
         ms, cams,

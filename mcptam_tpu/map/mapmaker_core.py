@@ -24,7 +24,9 @@ from mcptam_tpu.config import LEVELS, MapMakerConfig, DEFAULT_MAPMAKER
 from mcptam_tpu.core.se3 import SE3
 from mcptam_tpu.core.camera import CameraModel, unproject
 from mcptam_tpu.core.levels import level_zero_pos
-from mcptam_tpu.map.state import MapState, kf_cam_from_world, SRC_TRACKER
+from mcptam_tpu.map.state import (
+    MapState, kf_cam_from_world, SRC_TRACKER, closest_kf,
+)
 from mcptam_tpu.map.builder import commit_mkf, add_points, add_measurements
 from mcptam_tpu.map.keyframe import FrameFeatures
 from mcptam_tpu.map.epipolar import create_epipolar_points
@@ -45,6 +47,60 @@ def _level_candidates(feats: FrameFeatures, cam: int, level: int, cap: int):
     vals, pos = jax.lax.top_k(score, cap)
     xy = feats.cand_xy[level][cam][pos].astype(jnp.float32)
     return xy, vals > 0.0
+
+
+def thin_candidates(ms: MapState, mkf_idx, cam, level: int, xy_level, want,
+                    radius: float = 10.0):
+    """Drop candidates within `radius` level-px of a busy position — an
+    existing measurement of this KF at the same level or one level higher
+    (ThinCandidates, src/MapMakerServerBase.cc:411-447)."""
+    meas = ms.meas
+    busy = (
+        meas.valid
+        & (meas.mkf == mkf_idx)
+        & (meas.cam == cam)
+        & ((meas.level == level) | (meas.level == level + 1))
+    )
+    busy_xy = meas.uv_l0 / (2.0 ** level)            # (K,2) level coords
+    d2 = jnp.sum(
+        (xy_level[:, None, :] - busy_xy[None, :, :]) ** 2, axis=-1
+    )                                                 # (Q,K)
+    near = jnp.any(busy[None, :] & (d2 < radius * radius), axis=-1)
+    return want & ~near
+
+
+def _epi_pass(ms, cams, mkf_idx, feats, levels, region: str, cam_active,
+              mcfg: MapMakerConfig, cap_per_level: int):
+    """One region pass of AddStereoMapPoints over the given levels: thin
+    candidates, pick the closest target KF in `region`, epipolar-create.
+    Returns (ms, n_created_total)."""
+    C = ms.cam_from_base.t.shape[0]
+    made_total = jnp.zeros((), jnp.int32)
+    for level in levels:
+        for c in range(C):
+            xy, want = _level_candidates(feats, c, level, cap_per_level)
+            Q = xy.shape[0]
+            if cam_active is not None:
+                want = want & cam_active[c]
+            want = thin_candidates(
+                ms, mkf_idx, c, level, xy, want, mcfg.thin_radius
+            )
+            tgt_m, tgt_c, tgt_ok = closest_kf(ms, mkf_idx, c, region)
+            if cam_active is not None and region == "self":
+                tgt_ok = tgt_ok & cam_active[tgt_c]
+            ms, made = create_epipolar_points(
+                ms, cams,
+                src_mkf=jnp.broadcast_to(mkf_idx, (Q,)),
+                src_cam=jnp.full((Q,), c, jnp.int32),
+                tgt_mkf=jnp.broadcast_to(tgt_m, (Q,)),
+                tgt_cam=jnp.broadcast_to(tgt_c, (Q,)),
+                level=jnp.full((Q,), level, jnp.int32),
+                xy_level=xy,
+                want=want & tgt_ok,
+                n_hypotheses=mcfg.epi_max_hypotheses,
+            )
+            made_total = made_total + jnp.sum(made)
+    return ms, made_total
 
 
 def init_from_mkf(ms: MapState, cams: CameraModel, feats: FrameFeatures,
@@ -81,6 +137,7 @@ def init_from_mkf(ms: MapState, cams: CameraModel, feats: FrameFeatures,
                     level=lvl_arr,
                     xy_level=xy,
                     want=want,
+                    n_hypotheses=mcfg.epi_max_hypotheses,
                 )
             else:
                 cam_c = jax.tree_util.tree_map(lambda a: a[c], cams)
@@ -100,10 +157,10 @@ def init_from_mkf(ms: MapState, cams: CameraModel, feats: FrameFeatures,
     return ms, mkf_idx
 
 
-def record_tracker_measurements(ms: MapState, mkf_idx, result):
+def record_tracker_measurements(ms: MapState, mkf_idx, result, enable=True):
     """Record the tracker's found positions as SRC_TRACKER measurements of
     the new MKF (ref Tracker::RecordMeasurements, src/Tracker.cc:1237-1274)."""
-    want = result.sel_found & ~result.sel_outlier
+    want = result.sel_found & ~result.sel_outlier & enable
     K = want.shape[0]
     return add_measurements(
         ms,
@@ -122,68 +179,85 @@ def integrate_mkf(ms: MapState, cams: CameraModel, feats: FrameFeatures,
                   base_pose: SE3, tracker_result=None,
                   mcfg: MapMakerConfig = DEFAULT_MAPMAKER,
                   cap_per_level: int = 32, cam_active=None):
-    """Integrate a new tracker MKF: commit imagery + tracker measurements,
-    refind existing points in it, then create new stereo points from its
-    candidates, coarse levels first (AddMultiKeyFrameAndCreatePoints,
-    src/MapMakerServerBase.cc:346-404).
+    """Integrate a new tracker MKF (AddMultiKeyFrameAndCreatePoints,
+    src/MapMakerServerBase.cc:346-404): commit imagery + tracker
+    measurements, refind existing points in it, then create new stereo
+    points from its (thinned) candidates — coarse levels first against the
+    closest OTHER-MKF keyframes, with a sanity test (no coarse point could
+    be made => the MKF's pose is probably bad => reject it), then the
+    remaining levels, then sibling-KF (KF_ONLY_SELF) passes.
 
     cam_active: optional (C,) bool — dropped cameras become invalid KFs of
     this MKF (the reference prunes inactive KFs from incoming MKFs,
-    src/MapMakerClientBase.cc:229-247)."""
+    src/MapMakerClientBase.cc:229-247).
+
+    Returns (ms, mkf_idx, accepted) — accepted=False means the MKF failed
+    the large-point sanity test (or the MKF store is full) and `ms` is the
+    ORIGINAL map, untouched."""
+    import jax as _jax
+
+    ms_new, mkf_idx, n_large, slot_ok = integrate_mkf_device(
+        ms, cams, feats, base_pose, tracker_result, mcfg, cap_per_level,
+        cam_active,
+    )
+    reject = not bool(_jax.device_get(slot_ok)) or (
+        mcfg.large_point_test and int(_jax.device_get(n_large)) == 0
+    )
+    if reject:
+        return ms, mkf_idx, False
+    return ms_new, mkf_idx, True
+
+
+def integrate_mkf_device(ms: MapState, cams: CameraModel,
+                         feats: FrameFeatures, base_pose: SE3,
+                         tracker_result=None,
+                         mcfg: MapMakerConfig = DEFAULT_MAPMAKER,
+                         cap_per_level: int = 32, cam_active=None):
+    """The jittable body of :func:`integrate_mkf`: runs every pass
+    unconditionally and returns (ms_new, mkf_idx, n_large_points, slot_ok);
+    the host wrapper decides acceptance.  The reference aborts a bad MKF
+    early to save work (:397-401); here the post-sanity passes are computed
+    speculatively — rejections are rare and one fused device program per
+    integration beats host round-trips per pass."""
     C = ms.cam_from_base.t.shape[0]
     ms, mkf_idx, ok = commit_mkf(ms, feats, base_pose, kf_valid=cam_active)
+    if cam_active is not None:
+        cam_active = cam_active & ok
+    else:
+        cam_active = jnp.broadcast_to(ok, (C,))
 
     if tracker_result is not None:
-        ms = record_tracker_measurements(ms, mkf_idx, tracker_result)
+        ms = record_tracker_measurements(
+            ms, mkf_idx, tracker_result, enable=ok
+        )
 
     # refind existing points in the new keyframes only
     M = ms.mkfs.capacity
-    target = jnp.zeros(M, bool).at[mkf_idx].set(True)
+    target = jnp.zeros(M, bool).at[mkf_idx].set(ok)
     ms, n_refound = refind_in_keyframes(ms, cams, target_mkf_mask=target)
 
-    # new points: candidates not already near an existing measurement
-    # (reference thins candidates near existing measurements, :411-447 —
-    # approximated here by the refind pass already claiming those corners)
     min_level = 0 if getattr(mcfg, "level_zero_points", True) else 1
-    cross_cam = getattr(mcfg, "cross_camera", True)
-    for level in range(LEVELS - 1, min_level - 1, -1):
-        for c in range(C):
-            xy, want = _level_candidates(feats, c, level, cap_per_level)
-            Q = xy.shape[0]
-            cam_arr = jnp.full((Q,), c, jnp.int32)
-            lvl_arr = jnp.full((Q,), level, jnp.int32)
-            if cam_active is not None:
-                want = want & cam_active[c]
-            if C > 1 and cross_cam:
-                tgt_cam = jnp.full((Q,), (c + 1) % C, jnp.int32)
-                tgt_mkf = jnp.broadcast_to(mkf_idx, (Q,))
-                if cam_active is not None:
-                    want = want & cam_active[(c + 1) % C]
-            else:
-                # temporal stereo against the previous MKF, same camera
-                prev = jnp.argmax(
-                    jnp.where(
-                        ms.mkfs.valid
-                        & (ms.mkfs.seq < ms.mkfs.seq[mkf_idx]),
-                        ms.mkfs.seq,
-                        -1,
-                    )
-                )
-                tgt_cam = cam_arr
-                tgt_mkf = jnp.broadcast_to(prev, (Q,))
-            ms, made = create_epipolar_points(
-                ms, cams,
-                src_mkf=jnp.broadcast_to(mkf_idx, (Q,)),
-                src_cam=cam_arr,
-                tgt_mkf=tgt_mkf,
-                tgt_cam=tgt_cam,
-                level=lvl_arr,
-                xy_level=xy,
-                want=want,
-            )
+
+    # KF_ONLY_OTHER, coarse levels first (ref :368-378); the sanity
+    # quantity is the number of large (level>=2) points this created
+    ms, n_large = _epi_pass(
+        ms, cams, mkf_idx, feats, [3, 2], "other", cam_active, mcfg,
+        cap_per_level,
+    )
+    ms, _ = _epi_pass(
+        ms, cams, mkf_idx, feats, list(range(1, min_level - 1, -1)),
+        "other", cam_active, mcfg, cap_per_level,
+    )
+    # KF_ONLY_SELF: cross-camera stereo inside this MKF (ref :383-391)
+    if C > 1 and getattr(mcfg, "cross_camera", True):
+        ms, _ = _epi_pass(
+            ms, cams, mkf_idx, feats,
+            list(range(LEVELS - 1, min_level - 1, -1)),
+            "self", cam_active, mcfg, cap_per_level,
+        )
     from mcptam_tpu.map.state import refresh_scene_depths
     ms = refresh_scene_depths(ms)
-    return ms, mkf_idx
+    return ms, mkf_idx, n_large, ok
 
 
 def need_new_mkf(ms: MapState, pose: SE3, mean_depth,

@@ -311,6 +311,48 @@ def mkf_distance(ms: MapState, pose_a: SE3, mean_depth_a, idx_b):
     return d_cam + frac * d_mean
 
 
+def kf_distance_table(ms: MapState, mkf_idx, cam_idx):
+    """(M,C) depth-aware distances from the KF (mkf_idx, cam_idx) to every
+    KF slot, following KeyFrame::Distance (src/KeyFrame.cc:715-747):
+    |camPos diff| + 0.5 * |meanDepthPoint diff|, each KF contributing the
+    point at its own robust scene depth along its optical axis."""
+    frac = 0.5  # sdDistanceMeanDiffFraction default
+    kcw = kf_cam_from_world(ms)              # (M,C)
+    inv = kcw.inv()
+    pos = inv.t                              # (M,C,3) camera centers
+    depth = ms.mkfs.scene_depth_mean         # (M,C)
+    z = jnp.zeros_like(depth)
+    dpt = inv.apply(jnp.stack([z, z, depth], -1))  # (M,C,3)
+    d_cam = jnp.linalg.norm(pos - pos[mkf_idx, cam_idx], axis=-1)
+    d_mean = jnp.linalg.norm(dpt - dpt[mkf_idx, cam_idx], axis=-1)
+    return d_cam + frac * d_mean
+
+
+def closest_kf(ms: MapState, mkf_idx, cam_idx, region: str):
+    """Closest valid KF to (mkf_idx, cam_idx) within a region
+    (MapMakerBase::ClosestKeyFrame, src/MapMakerBase.cc:90-151):
+    'other' = KFs of every OTHER MKF; 'self' = sibling KFs of the same MKF.
+    Returns (tgt_mkf, tgt_cam, found)."""
+    M = ms.mkfs.capacity
+    C = ms.cam_from_base.t.shape[0]
+    d = kf_distance_table(ms, mkf_idx, cam_idx)
+    ok = ms.mkfs.valid[:, None] & ms.mkfs.kf_valid
+    same_mkf = jnp.arange(M)[:, None] == mkf_idx
+    if region == "other":
+        ok = ok & ~same_mkf
+    elif region == "self":
+        ok = ok & same_mkf & (jnp.arange(C)[None, :] != cam_idx)
+    else:
+        ok = ok & ~(same_mkf & (jnp.arange(C)[None, :] == cam_idx))
+    d = jnp.where(ok, d, jnp.inf)
+    flat = jnp.argmin(d.reshape(-1))
+    return (
+        (flat // C).astype(jnp.int32),
+        (flat % C).astype(jnp.int32),
+        jnp.isfinite(d.reshape(-1)[flat]),
+    )
+
+
 def closest_mkf_distance(ms: MapState, pose: SE3, mean_depth):
     """Min depth-scaled distance to any valid MKF (MapMakerBase::
     ClosestMultiKeyFrame + the add heuristic's depth scaling,

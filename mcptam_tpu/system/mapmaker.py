@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from mcptam_tpu.config import MapMakerConfig, BundleConfig, DEFAULT_MAPMAKER, DEFAULT_BUNDLE
 from mcptam_tpu.map.state import MapState, move_bad_points_to_trash
-from mcptam_tpu.map.mapmaker_core import init_from_mkf, integrate_mkf
+from mcptam_tpu.map.mapmaker_core import init_from_mkf, integrate_mkf_device
 from mcptam_tpu.map.refind import refind_in_keyframes
 from mcptam_tpu.ba.adjusters import (
     problem_all, problem_recent, writeback, apply_outliers,
@@ -68,6 +68,34 @@ class MapMaker:
         self._lm_run = jax.jit(
             lambda prob, st, n=BA_CHUNK: lm_run(prob, st, self.cams, n, self.bcfg)
         )
+        self._integrate_cache = {}
+
+    def _integrate(self, ms, feats, pose, result, cam_active):
+        """Jitted MKF integration (one device program instead of eager
+        per-pass dispatch); cache keyed on the mutable mcfg + the
+        with/without-tracker-result trace shape."""
+        key = (self.mcfg, result is not None)
+        fn = self._integrate_cache.get(key)
+        if fn is None:
+            mcfg = self.mcfg
+            if result is not None:
+                fn = jax.jit(
+                    lambda ms, feats, pose, res, ca: integrate_mkf_device(
+                        ms, self.cams, feats, pose, res, mcfg,
+                        cam_active=ca,
+                    )
+                )
+            else:
+                fn = jax.jit(
+                    lambda ms, feats, pose, ca: integrate_mkf_device(
+                        ms, self.cams, feats, pose, None, mcfg,
+                        cam_active=ca,
+                    )
+                )
+            self._integrate_cache[key] = fn
+        if result is not None:
+            return fn(ms, feats, pose, result, cam_active)
+        return fn(ms, feats, pose, cam_active)
 
     # -- tracker-facing API (MapMakerClientBase analogue) ------------------
     def init(self, ms: MapState, feats, pose):
@@ -125,12 +153,25 @@ class MapMaker:
                 ms = writeback(ms, self._ba_prob, self._ba_state)
             self._reset_ba()
             feats, pose, result, cam_active = self.queue.pop(0)
-            ms, _ = integrate_mkf(
-                ms, self.cams, feats, pose, result, self.mcfg,
-                cam_active=cam_active,
+            C = ms.cam_from_base.t.shape[0]
+            if cam_active is None:
+                cam_active = jnp.ones((C,), bool)
+            ms_new, _, n_large, slot_ok = self._integrate(
+                ms, feats, pose, result, cam_active
             )
+            # a rejected MKF (large-point sanity test, ref :374,397-401 —
+            # or a full MKF store) is simply dropped, like the reference
+            # deleting the MKF when AddMultiKeyFrameAndCreatePoints
+            # returns false
+            accepted = bool(jax.device_get(slot_ok)) and (
+                not self.mcfg.large_point_test
+                or int(jax.device_get(n_large)) > 0
+            )
+            if accepted:
+                ms = ms_new
             self.last_timing = MapMakerTiming(
-                elapsed=time.perf_counter() - t0, kind="creation",
+                elapsed=time.perf_counter() - t0,
+                kind="creation" if accepted else "creation-rejected",
             )
             return ms
 

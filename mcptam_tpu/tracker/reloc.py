@@ -18,8 +18,13 @@ from mcptam_tpu.map.state import MapState, kf_cam_from_world
 from mcptam_tpu.map.keyframe import FrameFeatures
 from mcptam_tpu.ops.sbi import esm_align, se3_from_se2, sbi_zmssd
 
-RECOVERY_MAX_SCORE = 9e5  # ref sdRecoveryMaxScore=1e5 (byte images);
-                          # our SBIs are float [0,255] post-blur, similar scale
+# sdRecoveryMaxScore = 1e5 (src/Relocaliser.cc:50,83).  The unit carries
+# over directly: both the reference and this SBI are 40x30 byte-scale
+# zero-mean blurred templates, and the accepted quantity is the SSD of the
+# ESM-ALIGNED pair (IteratePosRelToTarget's dFinalScore,
+# src/SmallBlurryImage.cc:158-246), not the pre-alignment scan score —
+# 1e5 over 1200 px ~= 9.1 gray levels RMS residual after alignment.
+RECOVERY_MAX_SCORE = 1e5
 
 
 def attempt_recovery(ms: MapState, cams_sbi: CameraModel,
@@ -28,10 +33,11 @@ def attempt_recovery(ms: MapState, cams_sbi: CameraModel,
                      cam_active=None):
     """Try to relocalize against the keyframe store.
 
-    Returns (pose: SE3 base_from_world, success: bool, best_score).
+    Returns (pose: SE3 base_from_world, success: bool, align_score).
     Every camera scores its SBI against all its stored KF SBIs; the best
-    (camera, keyframe) pair wins (the reference relocalizes per camera and
-    picks the first success, src/Tracker.cc:526-552)."""
+    (camera, keyframe) pair is ESM-aligned and ACCEPTED ON THE ALIGNED
+    RESIDUAL, exactly as Relocaliser::AttemptRecovery thresholds the
+    IteratePosRelToTarget score (src/Relocaliser.cc:61-88)."""
     M = ms.mkfs.capacity
     C = feats.sbi.shape[0]
 
@@ -54,6 +60,8 @@ def attempt_recovery(ms: MapState, cams_sbi: CameraModel,
     tgt_sbi = ms.mkfs.sbi[best_m, best_c]
     tgt_gx = ms.mkfs.sbi_gx[best_m, best_c]
     tgt_gy = ms.mkfs.sbi_gy[best_m, best_c]
+    # the reference uses 6 ESM iterations here (src/Relocaliser.cc:76);
+    # a few extra cost nothing under jit and only help convergence
     se2, esm_score = esm_align(cur_sbi, tgt_sbi, tgt_gx, tgt_gy, 12)
     cam_c = jax.tree_util.tree_map(lambda a: a[best_c], cams_sbi)
     # v_cur = R^T v_kf (se3_from_se2 maps target(kf) rays into src(cur))
@@ -69,5 +77,7 @@ def attempt_recovery(ms: MapState, cams_sbi: CameraModel,
     cam_from_base = jax.tree_util.tree_map(lambda a: a[best_c], cfb)
     base_pose = cam_from_base.inv() @ cam_pose
 
-    success = best_score < max_score
-    return base_pose, success, best_score
+    # accept on the POST-ALIGNMENT residual (ref src/Relocaliser.cc:76-87);
+    # a valid best pair must exist at all (finite scan score)
+    success = jnp.isfinite(best_score) & (esm_score < max_score)
+    return base_pose, success, esm_score

@@ -241,9 +241,13 @@ def search_pairs(ms: MapState, feats: FrameFeatures, cam_idx, pt_idx,
         pts.src_window[pt_idx], pts.src_window_ok[pt_idx], level_hw,
         pts.src_level[pt_idx], pts.center_xy[pt_idx], warp, level,
     )
+    # FIXED points (calibration grid) are searched exhaustively, not just
+    # at FAST corners — perfect X-corners fire no FAST response and these
+    # points anchor a calibration ("for fixed points, we want to try
+    # REALLY hard to find them", ref src/Tracker.cc:1323-1334)
     found, pos, ssd, aux = bp.find_patches(
         packed, level_hw, cam_idx, level, tmpl, uv_pred, range_l0,
-        max_range, max_ssd=max_ssd,
+        max_range, exhaustive=pts.fixed[pt_idx], max_ssd=max_ssd,
     )
     found = found & t_ok & sel_ok
     pos_ref, conv = bp.subpix_refine_region(
@@ -448,7 +452,7 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
     cf_found, cf_pos, cf_sub = search_pairs(
         ms, feats, c_cam, c_pt, c_uv, c_warp, c_lvl, c_ok,
         coarse_range_lvl, jnp.asarray(float(tcfg.coarse_range)),
-        tcfg.coarse_sub_pix_its, max_ssd=64 * 250.0,
+        tcfg.coarse_sub_pix_its, max_ssd=64 * tcfg.max_ssd_per_pixel,
     )
     n_coarse_found = jnp.sum(cf_found)
     do_coarse = n_coarse_found >= tcfg.coarse_min
@@ -481,7 +485,7 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
     ff_found, ff_pos, ff_sub = search_pairs(
         ms, feats, f_cam, f_pt, f_uv, f_warp, f_lvl, f_ok,
         tcfg.fine_range_first, fine_range, tcfg.fine_sub_pix_its,
-        max_ssd=64 * 250.0,
+        max_ssd=64 * tcfg.max_ssd_per_pixel,
     )
 
     # ---- 5. pose solve

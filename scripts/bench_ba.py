@@ -22,7 +22,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import numpy as np
 
 
-def build(n_poses, n_points, n_cams, H=480, W=640, seed=0):
+def build(n_poses, n_points, n_cams, H=480, W=640, seed=0, sparse_k=None):
+    """sparse_k: if set, sample that many random (pose, cam, point)
+    measurements instead of the dense product — the realistic shape of a
+    capacity-sized map (MAX_MEAS measurements over MAX_POINTS points)."""
     import jax.numpy as jnp
     from mcptam_tpu.core.se3 import SE3
     from mcptam_tpu.core.camera import project
@@ -40,17 +43,40 @@ def build(n_poses, n_points, n_cams, H=480, W=640, seed=0):
     pts = jnp.asarray(dirs * rng.uniform(3, 8, (n_points, 1)), jnp.float32)
 
     mpa, mpb, mpt, mcam, muv, mlvl, mok = [], [], [], [], [], [], []
-    for p in range(n_poses):
-        for c in range(n_cams):
-            pose = cam_from_base[c] @ pose_a_gt[p]
-            uv, ok = project(cams[c], pose.apply(pts))
-            muv.append(np.asarray(uv) + rng.normal(size=(n_points, 2)) * 0.3)
-            mok.append(np.asarray(ok))
-            mpa.append(np.full(n_points, p))
-            mpb.append(np.full(n_points, c))
-            mpt.append(np.arange(n_points))
-            mcam.append(np.full(n_points, c))
-            mlvl.append(np.zeros(n_points))
+    if sparse_k is not None:
+        p_ids = rng.integers(0, n_poses, sparse_k)
+        c_ids = rng.integers(0, n_cams, sparse_k)
+        t_ids = rng.integers(0, n_points, sparse_k)
+        import jax
+        kcw_R = np.zeros((sparse_k, 3, 3), np.float32)
+        for p in range(n_poses):
+            for c in range(n_cams):
+                sel = (p_ids == p) & (c_ids == c)
+                if not sel.any():
+                    continue
+                pose = cam_from_base[c] @ pose_a_gt[p]
+                cam_c = jax.tree_util.tree_map(lambda a: a[c], cams)
+                uv, ok = project(cam_c, pose.apply(pts[t_ids[sel]]))
+                muv.append(np.asarray(uv)
+                           + rng.normal(size=(int(sel.sum()), 2)) * 0.3)
+                mok.append(np.asarray(ok))
+                mpa.append(np.full(int(sel.sum()), p))
+                mpb.append(np.full(int(sel.sum()), c))
+                mpt.append(t_ids[sel])
+                mcam.append(np.full(int(sel.sum()), c))
+                mlvl.append(np.zeros(int(sel.sum())))
+    else:
+        for p in range(n_poses):
+            for c in range(n_cams):
+                pose = cam_from_base[c] @ pose_a_gt[p]
+                uv, ok = project(cams[c], pose.apply(pts))
+                muv.append(np.asarray(uv) + rng.normal(size=(n_points, 2)) * 0.3)
+                mok.append(np.asarray(ok))
+                mpa.append(np.full(n_points, p))
+                mpb.append(np.full(n_points, c))
+                mpt.append(np.arange(n_points))
+                mcam.append(np.full(n_points, c))
+                mlvl.append(np.zeros(n_points))
     pert = rng.normal(size=(n_poses, 6)) * 0.02
     pert[0] = 0
     import jax
@@ -73,11 +99,12 @@ def build(n_poses, n_points, n_cams, H=480, W=640, seed=0):
     return prob, cams
 
 
-def bench_one(name, n_poses, n_points, n_cams, n_steps=10, reps=10):
+def bench_one(name, n_poses, n_points, n_cams, n_steps=10, reps=10,
+              sparse_k=None):
     import jax
     from mcptam_tpu.ba.bundle import create_lm_state, lm_run
 
-    prob, cams = build(n_poses, n_points, n_cams)
+    prob, cams = build(n_poses, n_points, n_cams, sparse_k=sparse_k)
     K = int(prob.m_uv.shape[0])
     run = jax.jit(lambda p, s: lm_run(p, s, cams, n_steps))
     st0 = create_lm_state(prob)
@@ -118,6 +145,11 @@ def main():
     bench_one("global", n_poses=8, n_points=2048, n_cams=4)
     # stress: large map
     bench_one("large", n_poses=16, n_points=8192, n_cams=4, reps=5)
+    # full static capacity (config.MAX_MKFS=48 x MAX_POINTS=4096): the
+    # worst-case global-BA shape a live map can reach; W materializes as
+    # (P,L,6,3) so this also bounds the Schur memory footprint
+    bench_one("capacity", n_poses=48, n_points=4096, n_cams=4, reps=3,
+              sparse_k=32768)
 
 
 if __name__ == "__main__":

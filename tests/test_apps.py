@@ -163,3 +163,48 @@ def test_pose_calibrator_app(tmp_path, capsys):
     err = np.asarray((rel @ TRUE_REL.inv()).ln())
     assert np.linalg.norm(err[3:]) < 0.02, err   # rotation ~1 deg
     assert np.linalg.norm(err[:3]) < 0.03, err
+
+
+@pytest.mark.slow
+def test_client_server_apps_subprocess(tmp_path):
+    """The distributed pair as REAL processes: `mcptam_server` +
+    `mcptam_client` CLIs over loopback TCP (the reference runs both ROS
+    nodes on one machine with remapped topics, SURVEY §4) — covering the
+    argv parsing, the PORT handshake, and a clean SIGTERM shutdown that
+    class-level tests (test_distributed.py) cannot."""
+    import subprocess
+    import sys as _sys
+
+    rig, cams, cfb = _rig_json(tmp_path)
+    video, traj = _video_npz(tmp_path, cams, cfb)
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/root/.jax_cache_cpu_tests",
+    )
+    caps = ["--max-points", "1024", "--max-mkfs", "8", "--max-meas", "4096"]
+    server = subprocess.Popen(
+        [_sys.executable, "-m", "mcptam_tpu.apps.server", "--rig", rig,
+         "--port", "0", "--platform", "cpu", *caps],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+    )
+    try:
+        port = None
+        for _ in range(200):
+            line = server.stdout.readline()
+            if line.startswith("PORT "):
+                port = int(line.split()[1])
+                break
+        assert port, "server never printed its port"
+        client = subprocess.run(
+            [_sys.executable, "-m", "mcptam_tpu.apps.client", "--rig", rig,
+             "--video", video, "--server", f"127.0.0.1:{port}",
+             "--fps", "1000", "--platform", "cpu", *caps],
+            capture_output=True, text=True, env=env, timeout=1200,
+        )
+        assert client.returncode == 0, client.stderr[-2000:]
+        assert "lost=0" in client.stdout, client.stdout[-2000:]
+        assert "frame    4" in client.stdout
+    finally:
+        server.terminate()
+    assert server.wait(timeout=60) == 0

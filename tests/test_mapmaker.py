@@ -106,7 +106,8 @@ def test_refind_adds_measurements(world, init_map):
     pose2 = SE3.exp(jnp.asarray([0.08, 0.0, 0.05, 0.0, 0.02, 0.0]))
     images = render_rig(cams, cam_from_base, pose2, SEED, H, W)
     feats = make_frame_features(images)
-    ms2, mkf_idx = integrate_mkf(ms, cams, feats, pose2, None, MCFG)
+    ms2, mkf_idx, accepted = integrate_mkf(ms, cams, feats, pose2, None, MCFG)
+    assert accepted
     assert int(jnp.sum(ms2.mkfs.valid)) == 2
     tab = np.asarray(measurement_table(ms2))
     n_new_kf_meas = tab[int(mkf_idx)].sum()
@@ -149,7 +150,8 @@ def test_slam_loop(world):
         mean_depth = jnp.mean(res.mean_depth)
         add, _ = need_new_mkf(ms, res.pose, mean_depth, mcfg)
         if bool(add) and int(res.quality) == 0:
-            ms, _ = integrate_mkf(ms, cams, feats, res.pose, res, mcfg)
+            ms, _, acc = integrate_mkf(ms, cams, feats, res.pose, res, mcfg)
+            assert acc
             n_mkfs_added += 1
             prob = problem_recent(ms)
             st = lm_run(prob, create_lm_state(prob), cams, 15)

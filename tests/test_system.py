@@ -88,6 +88,21 @@ def test_relocalizer_recovers(ran_system):
     assert err < 0.25, err  # coarse recovery; tracker refines from here
 
 
+def test_relocalizer_rejects_wrong_scene(ran_system):
+    """A frame of a DIFFERENT scene must fail the sdRecoveryMaxScore=1e5
+    post-alignment gate (ref src/Relocaliser.cc:50,83): the must-reject
+    counterpart of the must-accept test above."""
+    sys_, cams, cfb, traj, infos = ran_system
+    cams_sbi = sys_.cams_sbi
+    # different texture seed + unrelated pose = a scene the map never saw
+    images = render_rig(cams, cfb, SE3.exp(jnp.asarray(
+        [2.0, -1.5, 1.0, 0.8, -0.4, 0.9])), SEED + 17.0, H, W)
+    feats = make_frame_features(jnp.asarray(images, jnp.float32))
+    pose, ok, score = attempt_recovery(sys_.ms, cams_sbi, feats)
+    assert not bool(ok), float(score)
+    assert float(score) >= 1e5
+
+
 def test_reset(ran_system):
     sys_, cams, cfb, traj, infos = ran_system
     sys_.reset()
