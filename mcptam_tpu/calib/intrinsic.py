@@ -307,10 +307,24 @@ def refine_lm(params9, poses, grids_uv, grids_board, image_size,
     return p9, ps, rms
 
 
-def calibrate_camera(grids_uv, grids_board, image_size, verbose=False):
-    """End-to-end intrinsic calibration.  Returns (params9, rms_px)."""
+def calibrate_camera(grids_uv, grids_board, image_size, verbose=False,
+                     backend: str = "tpu"):
+    """End-to-end intrinsic calibration.  Returns (params9, rms_px).
+
+    backend="tpu" (default) runs the batched Schur-eliminated LM on device
+    (calib.intrinsic_tpu — the reference's OptimizeOneStepLM elimination
+    order, src/CameraCalibrator.cc:439-555); backend="numpy" keeps the
+    host float64 full-Jacobian LM as a cross-check oracle."""
     params9, poses = calibrate_linear(grids_uv, grids_board, image_size)
-    params9, poses, rms = refine_lm(
-        params9, poses, grids_uv, grids_board, image_size, verbose=verbose
-    )
+    if backend == "tpu":
+        from mcptam_tpu.calib.intrinsic_tpu import refine_lm_tpu
+        params9, poses, rms = refine_lm_tpu(
+            params9, poses, grids_uv, grids_board, image_size,
+            verbose=verbose,
+        )
+    else:
+        params9, poses, rms = refine_lm(
+            params9, poses, grids_uv, grids_board, image_size,
+            verbose=verbose,
+        )
     return params9, rms

@@ -141,6 +141,11 @@ class MapMakerConfig:
     # candidate thinning radius in level px near existing measurements
     # (ThinCandidates, src/MapMakerServerBase.cc:411-447)
     thin_radius: float = 10.0
+    # wall-clock budget (ms) for map-maker ticks per tracked frame; 0 =
+    # exactly one tick.  A positive budget approximates the reference's
+    # free-running map-maker thread (<=500 Hz, src/MapMaker.cc:133)
+    # inside the single-chip interleaved schedule.
+    duty_budget_ms: float = 0.0
     # runtime-mutable GUI variables in the reference (GVars3,
     # src/System.cc:114-131): epipolar partner = other camera vs temporal
     # same-camera; whether level-0 candidates become map points

@@ -139,9 +139,27 @@ class MapMaker:
         self._local_done = False
         self._global_done = False
 
-    def step(self, ms: MapState) -> MapState:
-        """One scheduler tick: the reference's priority loop body
-        (src/MapMaker.cc:131-323)."""
+    def step(self, ms: MapState, budget_s: float | None = None) -> MapState:
+        """Scheduler ticks: the reference's priority loop body
+        (src/MapMaker.cc:131-323).
+
+        budget_s=None runs exactly one tick (one MKF integration OR one BA
+        chunk) — the frame-coupled slice.  With a budget, ticks repeat
+        until the wall-clock budget is spent or the maker goes idle — the
+        analogue of the reference's free-running map-maker thread (up to
+        500 Hz, src/MapMaker.cc:133): BA convergence stops being limited
+        to one chunk per tracked frame."""
+        ms = self._tick(ms)
+        if budget_s is not None:
+            t_end = time.perf_counter() + budget_s
+            while time.perf_counter() < t_end:
+                if not self.queue and self._ba_kind == "none" \
+                        and self._local_done and self._global_done:
+                    break   # idle: don't spin refind sweeps in a hot loop
+                ms = self._tick(ms)
+        return ms
+
+    def _tick(self, ms: MapState) -> MapState:
         t0 = time.perf_counter()
 
         # 1. integrate a queued MKF first (preempts BA)
@@ -185,7 +203,7 @@ class MapMaker:
                 if int(jax.device_get(count_mkfs(ms))) \
                         < self.bcfg.recent_min_size:
                     self._local_done = True
-                    return self.step(ms)
+                    return self._tick(ms)
                 self._ba_kind = "local"
                 # compacted local problem: LM step cost independent of the
                 # total map size (edges restricted to the local set, ref

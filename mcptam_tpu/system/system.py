@@ -271,8 +271,13 @@ class System:
             added = True
         timing.add = sw.lap()
 
-        # map-maker tick (the background thread's slice of this frame)
-        self.ms = self.mapmaker.step(self.ms)
+        # map-maker tick(s) — the background thread's slice of this frame
+        # (duty_budget_ms > 0 lets BA free-run within the budget, like the
+        # reference's dedicated map-maker thread)
+        budget = self.mcfg.duty_budget_ms
+        self.ms = self.mapmaker.step(
+            self.ms, budget_s=budget * 1e-3 if budget > 0 else None
+        )
         if added:
             self.mapmaker.on_map_changed()
         # repeated BA failure -> full reset with pose carry-over

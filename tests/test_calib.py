@@ -133,6 +133,31 @@ def _grids_for_calib(views):
     return grids_uv, grids_board
 
 
+def test_intrinsic_tpu_matches_numpy_oracle(views):
+    """The device Schur-LM (intrinsic_tpu) must land where the host float64
+    full-Jacobian LM lands: same focal/center to well under a percent and
+    no worse RMS (within f32 slack)."""
+    grids_uv, grids_board = _grids_for_calib(views)
+    p_tpu, rms_tpu = calibrate_camera(grids_uv, grids_board, (W, H),
+                                      backend="tpu")
+    p_np, rms_np = calibrate_camera(grids_uv, grids_board, (W, H),
+                                    backend="numpy")
+    assert rms_tpu < rms_np * 1.2 + 0.05, (rms_tpu, rms_np)
+    assert np.allclose(p_tpu[4:6], p_np[4:6], atol=1.0), (p_tpu, p_np)
+    # parameter-space distance is a poor metric (a0/a2 are correlated in
+    # the Taylor model); compare what matters — the projection function —
+    # over the calibrated field of view
+    angles = np.linspace(0.05, 0.75, 30)   # rad off optical axis
+    pts = np.stack([np.sin(angles), np.zeros_like(angles),
+                    np.cos(angles)], axis=1) * 2.0
+    uv_t, ok_t = project_calib(p_tpu, pts, float(np.hypot(W, H)))
+    uv_n, ok_n = project_calib(p_np, pts, float(np.hypot(W, H)))
+    both = ok_t & ok_n
+    assert both.sum() >= 25
+    d = np.linalg.norm(uv_t[both] - uv_n[both], axis=1)
+    assert d.max() < 0.75, d.max()
+
+
 def test_intrinsic_calibration(views):
     grids_uv, grids_board = _grids_for_calib(views)
     assert len(grids_uv) >= 4, len(grids_uv)
