@@ -112,6 +112,13 @@ def main(argv=None):
     p.add_argument("--squares", default="8x6")
     p.add_argument("--square-size", type=float, default=0.04)
     p.add_argument("--out", default="", help="output rig JSON with extrinsics")
+    p.add_argument(
+        "--tracking", action="store_true",
+        help="calibrate by tracking the shared board-anchored map "
+             "(TrackerCalib/MapMakerCalib flow — required for rigs with "
+             "no simultaneous board views; also the automatic fallback "
+             "when shared views are insufficient)",
+    )
     args = p.parse_args(argv)
     ensure_jax_platform(args.platform)
 
@@ -141,9 +148,63 @@ def main(argv=None):
         (f, c): {"uv": uv, "board_idx": bidx}
         for (f, c), (_out, _lab, bidx, uv) in chosen.items()
     }
-    cam_from_base, base_poses, st = calibrate_rig(
-        params9_per_cam, observations, board2_grid.reshape(-1, 2), (W, H), cams
-    )
+
+    def _lab_to_uv_bidx(lab):
+        rc = np.array(list(lab.keys()))
+        uv = np.array(list(lab.values()))
+        return uv, rc[:, 0] * n_cols + rc[:, 1]
+
+    # tracking mode gets EVERY candidate labeling: a symmetric board's
+    # 180-degree twin cannot be resolved by cross-view consensus when
+    # cameras never see the board simultaneously — the PoseCalibSession
+    # arbitrates per camera by tracking against the shared map
+    multi_observations = {
+        key: [_lab_to_uv_bidx(lab) for lab in labs]
+        for key, labs in cands.items()
+    }
+
+    def _tracking_calibration():
+        """TrackerCalib/MapMakerCalib flow: every camera bootstraps from
+        the board when it sees it, tracks the shared board-anchored map,
+        and the extrinsics come from simultaneous map tracking
+        (src/PoseCalibrator.cc:221-411)."""
+        import jax
+        from mcptam_tpu.calib.pose_calib import PoseCalibSession
+        from mcptam_tpu.io.synthetic import make_sbi_cams
+        from mcptam_tpu.config import TrackerConfig, MapMakerConfig
+
+        session = PoseCalibSession(
+            cams=cams, cams_sbi=make_sbi_cams(cams, H, W),
+            params9=params9_per_cam,
+            board_pts2=board2_grid.reshape(-1, 2), H=H, W=W,
+            tcfg=TrackerConfig(max_ssd_per_pixel=500.0),
+            mcfg=MapMakerConfig(),
+        )
+        for t in range(frames.shape[1]):
+            detections = {
+                c: labs
+                for (f, c), labs in multi_observations.items() if f == t
+            }
+            session.process_frame(frames[:, t], detections)
+        session.calib_init()
+        session.calib_step(40)
+        return [
+            jax.tree_util.tree_map(lambda a: a[c], session.cam_from_base)
+            for c in range(C)
+        ]
+
+    if args.tracking:
+        cam_from_base = _tracking_calibration()
+    else:
+        try:
+            cam_from_base, base_poses, st = calibrate_rig(
+                params9_per_cam, observations, board2_grid.reshape(-1, 2),
+                (W, H), cams,
+            )
+        except ValueError as e:
+            print(f"shared-board path failed ({e}); "
+                  "falling back to tracking calibration")
+            cam_from_base = _tracking_calibration()
     for c in range(C):
         v6 = np.asarray(cam_from_base[c].ln())
         print(f"cam {c} ({names[c]}): cam_from_base ln = "

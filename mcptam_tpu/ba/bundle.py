@@ -75,7 +75,13 @@ class BundleProblem:
     pt_index: jnp.ndarray = None    # (L,) int32 original point ids
     pt_index_ok: jnp.ndarray = None  # (L,) bool slot occupied
     m_index: jnp.ndarray = None     # (K,) int32 original measurement ids
-    m_index_ok: jnp.ndarray = None  # (K,) bool slot occupied
+    m_index_ok: jnp.ndarray = None   # (K,) bool slot occupied
+    # grouped observation table (attach_obs_table): per point, the indices
+    # of its measurements.  With it, the normal equations assemble as dense
+    # einsums (MXU work) instead of scatter-adds — TPU scatters serialize
+    # and dominated the LM step before this layout existed.
+    obs_idx: jnp.ndarray = None      # (L, D) int32 into the meas arrays
+    obs_valid: jnp.ndarray = None    # (L, D) bool
 
 
 @struct.dataclass
@@ -90,6 +96,38 @@ class LMState:
     accepted: jnp.ndarray     # int32 count
     iterations: jnp.ndarray   # int32 count
     max_update: jnp.ndarray   # last accepted update RMS
+
+
+def attach_obs_table(prob: BundleProblem, D: int) -> BundleProblem:
+    """Group measurements by point into an (L, D) index table.
+
+    D is the static per-point observation capacity; a point with more than
+    D valid measurements keeps an arbitrary D of them in the normal
+    equations (residuals/cost still see all of them).  The table is what
+    lets `_solve_delta` assemble V / W / Hpp with dense einsums instead of
+    scatter-adds — the TPU-native replacement for CHOLMOD's sparse
+    structure (ref src/ChainBundle.cc:1147-1161)."""
+    L = prob.points.shape[0]
+    K = prob.m_valid.shape[0]
+    BIG = jnp.int32(L + 1)
+    key = jnp.where(prob.m_valid, prob.m_point, BIG)
+    order = jnp.argsort(key, stable=True)                  # valid grouped
+    s = key[order]
+    first = jnp.searchsorted(s, s, side="left")
+    rank = jnp.arange(K, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = (s < BIG) & (rank < D)
+    slot = jnp.where(ok, s * D + rank, L * D)
+    idx = (
+        jnp.full(L * D + 1, K, jnp.int32)
+        .at[slot].set(order.astype(jnp.int32), mode="drop")[: L * D]
+        .reshape(L, D)
+    )
+    return prob.replace(obs_idx=idx, obs_valid=idx < K)
+
+
+def _pad_tail(x):
+    """Append one zero row so index K addresses a null measurement."""
+    return jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], 0)
 
 
 def _residuals_and_jacobians(prob: BundleProblem, pose_a: SE3, pose_b: SE3,
@@ -203,41 +241,83 @@ def _normal_system(prob: BundleProblem, e, Ja, Jb, Jl, w):
     return Hpp, b_p, V, b_l, W
 
 
+def _assemble_grouped(prob: BundleProblem, e, Ja, Jb, Jl, w):
+    """Normal equations via the (L, D) observation table — dense einsums,
+    zero scatters.  sqrt(w) is folded into a stacked 6P-space pose
+    Jacobian F and the point Jacobian, so Hpp = F^T F picks up the
+    diagonal AND the pose-a/pose-b cross blocks in one matmul.
+    Returns (Hpp_flat (6P,6P), b_p (6P,), V (L,3,3), b_l (L,3),
+    Wl (L,6P,3))."""
+    Pa = prob.movable_a.shape[0]
+    P = Pa + prob.movable_b.shape[0]
+    L, D = prob.obs_idx.shape
+    idx = prob.obs_idx
+    q = jnp.sqrt(jnp.maximum(_pad_tail(w)[idx], 0.0)) * prob.obs_valid
+    eq = _pad_tail(e)[idx] * q[..., None]                  # (L,D,2)
+    Jlq = _pad_tail(Jl)[idx] * q[..., None, None]          # (L,D,2,3)
+    Jaq = _pad_tail(Ja)[idx] * q[..., None, None]          # (L,D,2,6)
+    Jbq = _pad_tail(Jb)[idx] * q[..., None, None]
+    ga = _pad_tail(prob.m_pose_a)[idx]
+    gb = Pa + _pad_tail(prob.m_pose_b)[idx]
+    oha = jax.nn.one_hot(ga, P, dtype=Jaq.dtype)           # (L,D,P)
+    ohb = jax.nn.one_hot(gb, P, dtype=Jaq.dtype)
+    F = (
+        jnp.einsum("ldp,ldiv->ldipv", oha, Jaq)
+        + jnp.einsum("ldp,ldiv->ldipv", ohb, Jbq)
+    ).reshape(L, D, 2, 6 * P)
+    Hf = jnp.einsum("ldix,ldiy->xy", F, F)
+    b_p = jnp.einsum("ldix,ldi->x", F, eq)
+    V = jnp.einsum("ldiv,ldiw->lvw", Jlq, Jlq)
+    b_l = jnp.einsum("ldiv,ldi->lv", Jlq, eq)
+    Wl = jnp.einsum("ldix,ldiw->lxw", F, Jlq)
+    return Hf, b_p, V, b_l, Wl
+
+
+def _assemble_flat(prob: BundleProblem, e, Ja, Jb, Jl, w):
+    """Flat-space normal equations from either layout: the grouped einsum
+    path when an observation table is attached, else the scatter path
+    (kept for hand-built problems without a table)."""
+    if prob.obs_idx is not None:
+        return _assemble_grouped(prob, e, Ja, Jb, Jl, w)
+    Pa = prob.movable_a.shape[0]
+    P = Pa + prob.movable_b.shape[0]
+    Hpp, b_p, V, b_l, W = _normal_system(prob, e, Ja, Jb, Jl, w)
+    Hf = Hpp.transpose(0, 2, 1, 3).reshape(6 * P, 6 * P)
+    Wl = W.transpose(1, 0, 2, 3).reshape(-1, 6 * P, 3)
+    return Hf, b_p.reshape(-1), V, b_l, Wl
+
+
 def _solve_delta(prob: BundleProblem, e, Ja, Jb, Jl, w, lam):
     """One damped GN solve via Schur complement.  Returns (delta_a (Pa,6),
     delta_b (Pb,6), delta_pt (L,3))."""
     Pa = prob.movable_a.shape[0]
     Pb = prob.movable_b.shape[0]
     P = Pa + Pb
-    Hpp, b_p, V, b_l, W = _normal_system(prob, e, Ja, Jb, Jl, w)
+    Hf, b_p, V, b_l, Wl = _assemble_flat(prob, e, Ja, Jb, Jl, w)
 
     # LM damping on diagonals
-    eyeP = jnp.eye(6)
     eyeL = jnp.eye(3)
-    diag_idx = jnp.arange(P)
-    Udiag = Hpp[diag_idx, diag_idx]
-    Hpp = Hpp.at[diag_idx, diag_idx].add(lam * (Udiag * eyeP) + 1e-8 * eyeP)
+    hd = jnp.diagonal(Hf)
+    Hf = Hf + jnp.diag(lam * hd + 1e-8)
     Vd = V + lam * (V * eyeL) + 1e-8 * eyeL
 
     Vinv = linalg.inv3(Vd) * prob.movable_pt[:, None, None]
 
     # Schur: S = Hpp - W Vinv W^T ; b_s = b_p - W Vinv b_l
-    T = jnp.einsum("plvw,lwx->plvx", W, Vinv)              # (P,L,6,3)
-    S_corr = jnp.einsum("plvx,qlwx->pqvw", T, W)           # (P,P,6,6)
-    S = Hpp - S_corr
-    b_s = b_p - jnp.einsum("plvx,lx->pv", T, b_l)
+    T = jnp.einsum("lxw,lwy->lxy", Wl, Vinv)               # (L,6P,3)
+    S = Hf - jnp.einsum("lxy,lzy->xz", T, Wl)
+    b_s = b_p - jnp.einsum("lxy,ly->x", T, b_l)
 
-    # flatten, mask fixed poses
+    # mask fixed poses
     movable = jnp.concatenate([prob.movable_a, prob.movable_b])
     mvec = jnp.repeat(movable, 6).astype(jnp.float32)       # (6P,)
-    Sf = S.transpose(0, 2, 1, 3).reshape(6 * P, 6 * P)
-    Sf = Sf * mvec[:, None] * mvec[None, :] + jnp.diag(1.0 - mvec)
-    bf = b_s.reshape(-1) * mvec
-    delta_p = jnp.linalg.solve(Sf, bf).reshape(P, 6)
-    delta_p = delta_p * movable[:, None]
+    Sf = S * mvec[:, None] * mvec[None, :] + jnp.diag(1.0 - mvec)
+    bf = b_s * mvec
+    delta_f = jnp.linalg.solve(Sf, bf) * mvec
+    delta_p = delta_f.reshape(P, 6) * movable[:, None]
 
     # back-substitute points
-    rhs = b_l - jnp.einsum("plvx,pv->lx", W, delta_p)
+    rhs = b_l - jnp.einsum("lxw,x->lw", Wl, delta_f)
     delta_l = jnp.einsum("lxy,ly->lx", Vinv, rhs)
     return delta_p[:Pa], delta_p[Pa:], delta_l
 
@@ -370,23 +450,18 @@ def point_depth_covariance(prob: BundleProblem, st: LMState,
         prob, st.pose_a, st.pose_b, st.points, cams
     )
     w, _, _ = _robust(e, ok, DEFAULT_BUNDLE)
-    Pa = prob.movable_a.shape[0]
-    P = Pa + prob.movable_b.shape[0]
     L = prob.points.shape[0]
-    Hpp, _, V, _, W = _normal_system(prob, e, Ja, Jb, Jl, w)
+    Hf, _, V, _, Wl = _assemble_flat(prob, e, Ja, Jb, Jl, w)
 
     Vinv = linalg.inv3(V + 1e-9 * jnp.eye(3)) * prob.movable_pt[:, None, None]
     # reduced pose system S = Hpp - W Vinv W^T, fixed poses pinned to I
-    T = jnp.einsum("plvw,lwx->plvx", W, Vinv)              # (P,L,6,3)
-    S = Hpp - jnp.einsum("plvx,qlwx->pqvw", T, W)
+    T = jnp.einsum("lxw,lwy->lxy", Wl, Vinv)               # (L,6P,3)
+    S = Hf - jnp.einsum("lxy,lzy->xz", T, Wl)
     movable = jnp.concatenate([prob.movable_a, prob.movable_b])
     mvec = jnp.repeat(movable, 6).astype(jnp.float32)
-    Sf = S.transpose(0, 2, 1, 3).reshape(6 * P, 6 * P)
-    Sf = Sf * mvec[:, None] * mvec[None, :] + jnp.diag(1.0 - mvec)
+    Sf = S * mvec[:, None] * mvec[None, :] + jnp.diag(1.0 - mvec)
     Sinv = jnp.linalg.inv(Sf) * mvec[:, None] * mvec[None, :]
-    # back-substitution term: G = W^T Vinv flattened over pose coords
-    G = T.transpose(0, 2, 1, 3).reshape(6 * P, L, 3)       # (6P,L,3)
-    corr = jnp.einsum("alx,ab,bly->lxy", G, Sinv, G)       # (L,3,3)
+    corr = jnp.einsum("lxv,xy,lyw->lvw", T, Sinv, T)       # (L,3,3)
     Sigma = Vinv + corr
 
     # radial direction + inverse depth about each point's ACTUAL source KF

@@ -216,24 +216,43 @@ def detect_checkerboard(img_np: np.ndarray, max_corners: int = 256):
 # pose calibrator).  Here: dihedral relabelings that match the expected
 # (n_rows, n_cols) span, filtered by the light-square-at-origin rule.
 
-def dihedral_labelings(grid: dict, n_rows: int, n_cols: int):
-    """All relabelings of a detected (r,c)->uv grid that exactly span the
-    expected pattern.  Returns a list of dicts (r,c)->uv."""
+def dihedral_labelings(grid: dict, n_rows: int, n_cols: int,
+                       min_fill: float = 0.85):
+    """All relabelings of a detected (r,c)->uv grid that match the expected
+    pattern.  The grid assembly can over-expand by a phantom row/column
+    (spurious X-corners in scene texture adjacent to the board) — so in
+    addition to exact-span grids, every (n_rows, n_cols) sub-window of a
+    larger span filled to >= min_fill is offered as a candidate (callers
+    filter by the light-square rule and PnP residuals).  Returns a list of
+    dicts (r,c)->uv."""
     import itertools
     rc = np.array(list(grid.keys()))
     uv = np.array(list(grid.values()), np.float64)
     out = []
+    min_count = int(np.ceil(min_fill * n_rows * n_cols))
     for swap in (False, True):
         a = rc[:, ::-1] if swap else rc
         r = a[:, 0] - a[:, 0].min()
         c = a[:, 1] - a[:, 1].min()
-        if r.max() != n_rows - 1 or c.max() != n_cols - 1:
+        if r.max() < n_rows - 1 or c.max() < n_cols - 1:
             continue
-        for flip_r, flip_c in itertools.product((False, True), repeat=2):
-            rr = (r.max() - r) if flip_r else r
-            cc = (c.max() - c) if flip_c else c
-            out.append({(int(ri), int(ci)): uv[i]
-                        for i, (ri, ci) in enumerate(zip(rr, cc))})
+        for r0 in range(int(r.max()) - n_rows + 2):
+            for c0 in range(int(c.max()) - n_cols + 2):
+                inside = (
+                    (r >= r0) & (r < r0 + n_rows)
+                    & (c >= c0) & (c < c0 + n_cols)
+                )
+                if int(inside.sum()) < min_count:
+                    continue
+                rw = r[inside] - r0
+                cw = c[inside] - c0
+                uvw = uv[inside]
+                for flip_r, flip_c in itertools.product(
+                        (False, True), repeat=2):
+                    rr = (n_rows - 1 - rw) if flip_r else rw
+                    cc = (n_cols - 1 - cw) if flip_c else cw
+                    out.append({(int(ri), int(ci)): uvw[i]
+                                for i, (ri, ci) in enumerate(zip(rr, cc))})
     return out
 
 

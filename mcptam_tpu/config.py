@@ -167,6 +167,10 @@ class BundleConfig:
     tukey_outlier_sigmas: float = 4.6851  # tukey hard cutoff c
     recent_num: int = 3                    # local BA window, BundleAdjusterBase.cc:48
     recent_min_size: int = 8
+    # static per-point observation capacity of the grouped normal-equation
+    # layout (ba/bundle.attach_obs_table); a point observed in more
+    # (MKF,cam) pairs keeps obs_cap of them in the Hessian
+    obs_cap: int = 24
 
 
 DEFAULT_TRACKER = TrackerConfig()

@@ -97,6 +97,76 @@ def render_rig(cams: CameraModel, cam_from_base: SE3, base_from_world: SE3,
     return jax.vmap(per_cam, in_axes=(0, 0))(cams, cam_from_base)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def render_view_board(cam: CameraModel, cam_from_world: SE3, seed,
+                      H: int, W: int, squares=(8, 6),
+                      square_size: float = 0.25):
+    """Render one view of a world containing BOTH the textured sphere and
+    an opaque checkerboard on the world z=0 plane spanning
+    [0, squares[0]*s] x [0, squares[1]*s] — the pose-calibration oracle
+    world, where the world frame IS the board frame (the reference anchors
+    the calibration map to the grid, src/MapMakerCalib.cc:72-90)."""
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    uv = jnp.stack([xs, ys], axis=-1)
+    rays_c = unproject(cam, uv)
+    w_from_c = cam_from_world.inv()
+    d = jnp.einsum("ij,hwj->hwi", w_from_c.R, rays_c)
+    c = w_from_c.t
+    # sphere hit
+    b = jnp.einsum("hwi,i->hw", d, c)
+    disc = b * b - (jnp.dot(c, c) - SPHERE_RADIUS**2)
+    t_sph = -b + jnp.sqrt(jnp.maximum(disc, 0.0))
+    sphere_col = texture(c + t_sph[..., None] * d, seed)
+    # board plane hit (z=0)
+    dz = jnp.where(jnp.abs(d[..., 2]) < 1e-9, 1e-9, d[..., 2])
+    t_pl = -c[2] / dz
+    q = c + t_pl[..., None] * d
+    gx = q[..., 0] / square_size
+    gy = q[..., 1] / square_size
+    on_board = (
+        (t_pl > 1e-3) & (t_pl < t_sph)
+        & (gx >= 0) & (gx <= squares[0]) & (gy >= 0) & (gy <= squares[1])
+    )
+    # Anti-aliased checker: the pattern is 0.5*(1 + sq(gx)*sq(gy)) with
+    # sq the period-2 square wave.  Point-sampling it bakes aliasing into
+    # the image that no later blur can undo, and caps sub-pixel matching
+    # accuracy near the quantization floor (~0.4 px); instead box-filter
+    # sq analytically over each pixel's footprint in grid units via its
+    # antiderivative, the period-2 triangle wave.
+    def tri(x):
+        return 1.0 - jnp.abs(jnp.mod(x, 2.0) - 1.0)
+
+    def sq_filtered(g, w):
+        w = jnp.maximum(w, 1e-4)
+        # integral of sq over [g-w/2, g+w/2] = T(g+w/2)-T(g-w/2) with
+        # T' = sq; T(x) = tri(x) shifted so T'(x)=+1 on [0,1)
+        return (tri(g + 0.5 * w) - tri(g - 0.5 * w)) / w
+
+    def footprint(g):
+        dgy, dgx = jnp.gradient(g)
+        return jnp.abs(dgx) + jnp.abs(dgy)
+
+    sgn = sq_filtered(gx, footprint(gx)) * sq_filtered(gy, footprint(gy))
+    board_col = 127.5 + 107.5 * sgn
+    img = jnp.where(on_board, board_col, sphere_col)
+    # optical blur: razor-sharp synthetic edges would make any half-pixel
+    # misregistration blow the ZMSSD budget in a way real lenses never do
+    # (render_checkerboard blurs for the same reason)
+    from mcptam_tpu.ops.pyramid import gaussian_blur_3
+    return gaussian_blur_3(img, sigma=1.0, radius=3)
+
+
+def render_rig_board(cams: CameraModel, cam_from_base: SE3,
+                     base_from_world: SE3, seed, H: int, W: int,
+                     squares=(8, 6), square_size: float = 0.25):
+    """Render all C cameras of the board+sphere world: (C,H,W) f32."""
+    def per_cam(cam, cfb):
+        pose = cfb @ base_from_world
+        return render_view_board(cam, pose, seed, H, W, squares, square_size)
+    return jax.vmap(per_cam, in_axes=(0, 0))(cams, cam_from_base)
+
+
 def ray_depth(cam_from_world: SE3, rays_c):
     """Ground-truth depth along camera rays to the sphere."""
     w_from_c = cam_from_world.inv()

@@ -32,6 +32,7 @@ from mcptam_tpu.ba.adjusters import (
 )
 from mcptam_tpu.ba.bundle import (
     create_lm_state, lm_run, tukey_outlier_pass, point_depth_covariance,
+    attach_obs_table,
 )
 from mcptam_tpu.system.timing import MapMakerTiming
 
@@ -208,12 +209,15 @@ class MapMaker:
                 # compacted local problem: LM step cost independent of the
                 # total map size (edges restricted to the local set, ref
                 # src/BundleAdjusterBase.cc:188-265)
-                self._ba_prob = compact_problem(
-                    problem_recent(ms, self.bcfg.recent_num)
+                self._ba_prob = attach_obs_table(
+                    compact_problem(problem_recent(ms, self.bcfg.recent_num)),
+                    self.bcfg.obs_cap,
                 )
             elif not self._global_done:
                 self._ba_kind = "global"
-                self._ba_prob = problem_all(ms)
+                self._ba_prob = attach_obs_table(
+                    problem_all(ms), self.bcfg.obs_cap
+                )
             else:
                 # idle: trash GC + periodic refinds.  The failure queue
                 # (outlier pairs awaiting a second chance) is retried as a

@@ -290,3 +290,65 @@ def test_compact_problem_equivalent(rng):
         axis=-1,
     )
     assert np.median(perr) < 1e-2
+
+
+def test_grouped_layout_matches_scatter(rng):
+    """The (L,D) observation-table normal equations (dense einsums, the
+    TPU-fast path) must reproduce the scatter path exactly: same LM
+    trajectory, same depth covariance."""
+    from mcptam_tpu.ba.bundle import attach_obs_table, point_depth_covariance
+
+    prob, cams, _, _, _ = build_problem(
+        rng, n_poses=4, n_points=96, n_cams=2, noise_px=0.3, movable_b=False
+    )
+    # knock out a few measurements so segment lengths vary
+    mv = np.asarray(prob.m_valid).copy()
+    mv[rng.choice(len(mv), len(mv) // 5, replace=False)] = False
+    prob = prob.replace(m_valid=jnp.asarray(mv))
+    g = attach_obs_table(prob, D=4 * 2 + 2)   # capacity > max obs count
+
+    st0 = create_lm_state(prob)
+    st_flat = lm_run(prob, st0, cams, 8)
+    st_grp = lm_run(g, create_lm_state(g), cams, 8)
+    # float32 accumulation order differs (einsum vs scatter); the LM
+    # trajectory amplifies ~1e-7 assembly noise over iterations
+    np.testing.assert_allclose(
+        np.asarray(st_grp.points), np.asarray(st_flat.points),
+        rtol=1e-3, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_grp.pose_a.t), np.asarray(st_flat.pose_a.t),
+        rtol=1e-3, atol=1e-3,
+    )
+    # accept/convergence latching can flip on 1e-7 assembly noise near
+    # the 1e-10 convergence thresholds — require equivalent final costs
+    assert abs(rms_reproj(prob, st_grp, cams)
+               - rms_reproj(prob, st_flat, cams)) < 1e-3
+
+    med_f, cov_f = point_depth_covariance(prob, st_flat, cams)
+    med_g, cov_g = point_depth_covariance(g, st_grp, cams)
+    np.testing.assert_allclose(
+        float(med_g), float(med_f), rtol=1e-3, atol=1e-9
+    )
+
+
+def test_obs_table_overflow_keeps_capacity(rng):
+    """A point with more valid measurements than D keeps exactly D in the
+    table; the table never indexes an invalid measurement."""
+    from mcptam_tpu.ba.bundle import attach_obs_table
+
+    prob, cams, _, _, _ = build_problem(
+        rng, n_poses=4, n_points=32, n_cams=2
+    )
+    D = 3  # every point has up to 8 valid measurements
+    g = attach_obs_table(prob, D)
+    idx = np.asarray(g.obs_idx)
+    tv = np.asarray(g.obs_valid)
+    K = len(np.asarray(prob.m_valid))
+    assert idx.shape == (32, D)
+    assert np.all(idx[tv] < K)
+    assert np.all(np.asarray(prob.m_valid)[idx[tv]])
+    # each point's tabled measurements really belong to it
+    mp = np.asarray(prob.m_point)
+    for l in range(32):
+        assert np.all(mp[idx[l][tv[l]]] == l)
