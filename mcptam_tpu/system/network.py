@@ -324,7 +324,12 @@ class MapMakerClient:
         self.state = int(d["state"])
         self.init_point_cov = float(d["init_cov"])
 
-    def step(self, ms: MapState) -> MapState:
+    def step(self, ms: MapState, budget_s: float | None = None) -> MapState:
+        # budget_s is accepted for API parity with MapMaker.step (System.
+        # process_frame passes it unconditionally); the client does no BA,
+        # so there is nothing to budget — forwarding + message drain are
+        # already one bounded pass (ref MapMakerClient::run does the same
+        # fixed work per loop, src/MapMakerClient.cc:96-129).
         # 1. forward one queued MKF: commit imagery locally (same slot the
         # server will use), record tracker measurements, ship it
         if self.queue:

@@ -54,6 +54,30 @@ def test_feats_jpeg_roundtrip():
     assert float(jnp.abs(feats3.atlas - feats.atlas).max()) < 1.0
 
 
+def test_client_step_accepts_frame_budget():
+    # regression guard (round-2 bug): System.process_frame always calls
+    # mapmaker.step(ms, budget_s=...); MapMakerClient.step must accept the
+    # kwarg or every SystemClient frame raises TypeError.  Runs the real
+    # loopback channel but no tracker, so it stays in the fast tier.
+    from mcptam_tpu.system.network import MapMakerClient
+    cams, cfb = make_rig(C, H, W, spread_deg=25.0)
+    server_ch = Channel.serve(0)
+    client_ch = Channel.connect("127.0.0.1", server_ch.port)
+    try:
+        mm = MapMakerClient(client_ch, cams)
+        ms = create_map_state(
+            H, W, C, cfb, max_points=64, max_mkfs=4, max_meas=256
+        )
+        for budget in (None, 0.01):
+            ms2 = mm.step(ms, budget_s=budget)
+            assert ms2.points.capacity == ms.points.capacity
+        ms2 = mm.step(ms)  # positional form still works
+        assert ms2.mkfs.capacity == ms.mkfs.capacity
+    finally:
+        client_ch.close()
+        server_ch.close()
+
+
 @pytest.mark.slow
 def test_client_server_loop():
     cams, cfb = make_rig(C, H, W, spread_deg=25.0)
