@@ -82,6 +82,9 @@ class BundleProblem:
     # and dominated the LM step before this layout existed.
     obs_idx: jnp.ndarray = None      # (L, D) int32 into the meas arrays
     obs_valid: jnp.ndarray = None    # (L, D) bool
+    # valid measurements beyond a point's D slots (excluded from the
+    # normal equations; still in the cost) — see attach_obs_table
+    obs_dropped: jnp.ndarray = None  # () int32
 
 
 @struct.dataclass
@@ -103,10 +106,13 @@ def attach_obs_table(prob: BundleProblem, D: int) -> BundleProblem:
 
     D is the static per-point observation capacity; a point with more than
     D valid measurements keeps an arbitrary D of them in the normal
-    equations (residuals/cost still see all of them).  The table is what
-    lets `_solve_delta` assemble V / W / Hpp with dense einsums instead of
-    scatter-adds — the TPU-native replacement for CHOLMOD's sparse
-    structure (ref src/ChainBundle.cc:1147-1161)."""
+    equations (residuals/cost still see all of them).  The number of
+    measurements dropped that way is recorded in ``obs_dropped`` so
+    callers can size D from the data instead of losing Hessian edges
+    silently.  The table is what lets the LM step assemble V / W / Hpp
+    with dense matmuls instead of scatter-adds — the TPU-native
+    replacement for CHOLMOD's sparse structure
+    (ref src/ChainBundle.cc:1147-1161)."""
     L = prob.points.shape[0]
     K = prob.m_valid.shape[0]
     BIG = jnp.int32(L + 1)
@@ -122,7 +128,19 @@ def attach_obs_table(prob: BundleProblem, D: int) -> BundleProblem:
         .at[slot].set(order.astype(jnp.int32), mode="drop")[: L * D]
         .reshape(L, D)
     )
-    return prob.replace(obs_idx=idx, obs_valid=idx < K)
+    dropped = jnp.sum(((s < BIG) & (rank >= D)).astype(jnp.int32))
+    return prob.replace(obs_idx=idx, obs_valid=idx < K, obs_dropped=dropped)
+
+
+def max_obs_per_point(prob: BundleProblem) -> jnp.ndarray:
+    """Largest per-point valid-measurement count — the D that loses no
+    Hessian edges (host-fetch this at problem-build time to size the
+    table; ADVICE round 2 #2)."""
+    L = prob.points.shape[0]
+    counts = jnp.zeros(L, jnp.int32).at[prob.m_point].add(
+        prob.m_valid.astype(jnp.int32)
+    )
+    return jnp.max(counts)
 
 
 def _pad_tail(x):
@@ -322,9 +340,346 @@ def _solve_delta(prob: BundleProblem, e, Ja, Jb, Jl, w, lam):
     return delta_p[:Pa], delta_p[Pa:], delta_l
 
 
+# ---------------------------------------------------------------------------
+# SoA fast path
+# ---------------------------------------------------------------------------
+#
+# TPU arrays tile their two minor dims to (8, 128), so the AoS
+# per-measurement tensors above ((K,2,6) Jacobians, (K,2,2) derivs, the
+# (L,D,2,6P) stacked pose Jacobian) each waste 1-2 orders of magnitude of
+# memory bandwidth, and XLA's fusion choices on that layout produced
+# multi-second LM iterations on a v5e.  The functions below keep every
+# per-measurement quantity as a flat (N,) array (python lists standing in
+# for the small fixed dims), assemble the normal equations with a handful
+# of (rows, N) x (N, P) matmuls + per-point reshape-reductions, and solve
+# the reduced pose system with the single-kernel Pallas Cholesky
+# (core/spd.py).  Same math as the reference ChainBundle
+# (src/ChainBundle.cc:449-1161) and exactly the scatter path above —
+# equivalence-tested in tests/test_bundle.py.
+
+def _soa_prep(prob: BundleProblem):
+    """Per-problem constants of the SoA step (computed once per jitted
+    lm_run, reused across scan iterations)."""
+    L, D = prob.obs_idx.shape
+    idx = prob.obs_idx.reshape(-1)                        # (N,)
+    ia = _pad_tail(prob.m_pose_a)[idx]
+    ib = _pad_tail(prob.m_pose_b)[idx]
+    icam = _pad_tail(prob.m_cam)[idx]
+    Pa = prob.movable_a.shape[0]
+    Pb = prob.movable_b.shape[0]
+    oha = jax.nn.one_hot(ia.reshape(L, D), Pa, dtype=jnp.float32)
+    ohb = jax.nn.one_hot(ib.reshape(L, D), Pb, dtype=jnp.float32)
+    return {"idx": idx, "ia": ia, "ib": ib, "icam": icam,
+            "oha": oha, "ohb": ohb}
+
+
+def _resid_chi2_soa(prob: BundleProblem, pose_a: SE3, pose_b: SE3,
+                    points, cams: CameraModel):
+    """Residual-only pass over ALL K measurements, SoA.  Returns
+    (chi2 (K,), ok (K,)) with chi2 zeroed where ~ok."""
+    from mcptam_tpu.core.camera import camera_soa, project_chain_soa
+    ia, ib, ipt, icam = prob.m_pose_a, prob.m_pose_b, prob.m_point, prob.m_cam
+    Ra = [[pose_a.R[:, i, j][ia] for j in range(3)] for i in range(3)]
+    ta = [pose_a.t[:, i][ia] for i in range(3)]
+    Rb = [[pose_b.R[:, i, j][ib] for j in range(3)] for i in range(3)]
+    tb = [pose_b.t[:, i][ib] for i in range(3)]
+    pt = [points[:, i][ipt] for i in range(3)]
+    pb_ = [ta[i] + Ra[i][0] * pt[0] + Ra[i][1] * pt[1] + Ra[i][2] * pt[2]
+           for i in range(3)]
+    pc_ = [tb[i] + Rb[i][0] * pb_[0] + Rb[i][1] * pb_[1] + Rb[i][2] * pb_[2]
+           for i in range(3)]
+    camf = camera_soa(cams, icam)
+    ch = project_chain_soa(camf, pc_[0], pc_[1], pc_[2], with_derivs=False)
+    inv_scale = 1.0 / (2.0 ** prob.m_level.astype(jnp.float32))
+    e0 = (prob.m_uv[:, 0] - ch["u"]) * inv_scale
+    e1 = (prob.m_uv[:, 1] - ch["v"]) * inv_scale
+    ok = prob.m_valid & ch["ok"] & jnp.isfinite(e0) & jnp.isfinite(e1)
+    chi2 = jnp.where(ok, e0 * e0 + e1 * e1, 0.0)
+    return chi2, ok
+
+
+def _resid_jac_soa(prob: BundleProblem, pose_a: SE3, pose_b: SE3,
+                   points, cams: CameraModel, pr: dict):
+    """Residuals + analytic Jacobians at the obs-table entries, SoA.
+
+    Returns (e [2 x (N,)], Ja [2][6], Jb [2][6], Jl [2][3], ok (N,)) with
+    every component zeroed where ~ok, level-scaled, and the movable masks
+    folded in — the SoA twin of _residuals_and_jacobians
+    (ref EdgeChainMeas::linearizeOplus, src/ChainBundle.cc:449-749)."""
+    from mcptam_tpu.core.camera import camera_soa, project_chain_soa
+    idx, ia, ib, icam = pr["idx"], pr["ia"], pr["ib"], pr["icam"]
+    L, D = prob.obs_idx.shape
+    ipt = jnp.repeat(jnp.arange(L, dtype=jnp.int32), D)
+
+    Ra = [[pose_a.R[:, i, j][ia] for j in range(3)] for i in range(3)]
+    ta = [pose_a.t[:, i][ia] for i in range(3)]
+    Rb = [[pose_b.R[:, i, j][ib] for j in range(3)] for i in range(3)]
+    tb = [pose_b.t[:, i][ib] for i in range(3)]
+    pt = [points[:, i][ipt] for i in range(3)]
+    pb_ = [ta[i] + Ra[i][0] * pt[0] + Ra[i][1] * pt[1] + Ra[i][2] * pt[2]
+           for i in range(3)]
+    pc_ = [tb[i] + Rb[i][0] * pb_[0] + Rb[i][1] * pb_[1] + Rb[i][2] * pb_[2]
+           for i in range(3)]
+
+    camf = camera_soa(cams, icam)
+    ch = project_chain_soa(camf, pc_[0], pc_[1], pc_[2], with_derivs=True)
+    duv = ch["duv"]                                        # [2][3] (N,)
+
+    zero = jnp.zeros_like(pc_[0])
+
+    def skew_rows(p):
+        # generator rows for the 3 rotation tangents: d p / d w_r
+        return [[zero, -p[2], p[1]], [p[2], zero, -p[0]], [-p[1], p[0], zero]]
+
+    rot_a = skew_rows(pb_)
+    rot_b = skew_rows(pc_)
+    # d p_cam / d delta_a: translation g -> column g of Rb; rotation r ->
+    # Rb @ rot_a[r]
+    dcam_a = [[Rb[i][g] for i in range(3)] for g in range(3)] + [
+        [Rb[i][0] * rot_a[r][0] + Rb[i][1] * rot_a[r][1]
+         + Rb[i][2] * rot_a[r][2] for i in range(3)]
+        for r in range(3)
+    ]
+    eye = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    dcam_b = [[jnp.full_like(zero, eye[g][i]) for i in range(3)]
+              for g in range(3)] + [
+        [rot_b[r][i] for i in range(3)] for r in range(3)
+    ]
+    Rba = [[Rb[i][0] * Ra[0][m] + Rb[i][1] * Ra[1][m] + Rb[i][2] * Ra[2][m]
+            for m in range(3)] for i in range(3)]
+
+    Ja = [[duv[i][0] * dcam_a[g][0] + duv[i][1] * dcam_a[g][1]
+           + duv[i][2] * dcam_a[g][2] for g in range(6)] for i in range(2)]
+    Jb = [[duv[i][0] * dcam_b[g][0] + duv[i][1] * dcam_b[g][1]
+           + duv[i][2] * dcam_b[g][2] for g in range(6)] for i in range(2)]
+    Jl = [[duv[i][0] * Rba[0][m] + duv[i][1] * Rba[1][m]
+           + duv[i][2] * Rba[2][m] for m in range(3)] for i in range(2)]
+
+    lvl = _pad_tail(prob.m_level)[idx].astype(jnp.float32)
+    inv_scale = 1.0 / (2.0 ** lvl)
+    uv0 = _pad_tail(prob.m_uv[:, 0])[idx]
+    uv1 = _pad_tail(prob.m_uv[:, 1])[idx]
+    e = [(uv0 - ch["u"]) * inv_scale, (uv1 - ch["v"]) * inv_scale]
+
+    ok = _pad_tail(prob.m_valid)[idx] & ch["ok"]
+    for i in range(2):
+        ok = ok & jnp.isfinite(e[i])
+        for g in range(6):
+            ok = ok & jnp.isfinite(Ja[i][g]) & jnp.isfinite(Jb[i][g])
+        for m in range(3):
+            ok = ok & jnp.isfinite(Jl[i][m])
+
+    mva = prob.movable_a.astype(jnp.float32)[ia] * inv_scale
+    mvb = prob.movable_b.astype(jnp.float32)[ib] * inv_scale
+    mvl = prob.movable_pt.astype(jnp.float32)[ipt] * inv_scale
+    z = lambda x: jnp.where(ok, x, 0.0)
+    e = [z(x) for x in e]
+    Ja = [[z(Ja[i][g]) * mva for g in range(6)] for i in range(2)]
+    Jb = [[z(Jb[i][g]) * mvb for g in range(6)] for i in range(2)]
+    Jl = [[z(Jl[i][m]) * mvl for m in range(3)] for i in range(2)]
+    return e, Ja, Jb, Jl, ok
+
+
+def _inv3_soa(v00, v01, v02, v11, v12, v22):
+    """Closed-form symmetric 3x3 inverse on component arrays."""
+    c00 = v11 * v22 - v12 * v12
+    c01 = v02 * v12 - v01 * v22
+    c02 = v01 * v12 - v02 * v11
+    c11 = v00 * v22 - v02 * v02
+    c12 = v01 * v02 - v00 * v12
+    c22 = v00 * v11 - v01 * v01
+    det = v00 * c00 + v01 * c01 + v02 * c02
+    inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+    return (c00 * inv_det, c01 * inv_det, c02 * inv_det,
+            c11 * inv_det, c12 * inv_det, c22 * inv_det)
+
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _solve_delta_soa(prob: BundleProblem, pr: dict, pose_a: SE3,
+                     pose_b: SE3, points, cams: CameraModel, w, lam):
+    """One damped GN solve via Schur complement, SoA layout throughout.
+    Matches _solve_delta numerically (same damping, pinning, solve)."""
+    from mcptam_tpu.core.spd import spd_solve
+    L, D = prob.obs_idx.shape
+    Pa = prob.movable_a.shape[0]
+    Pb = prob.movable_b.shape[0]
+    P = Pa + Pb
+
+    e, Ja, Jb, Jl, okN = _resid_jac_soa(prob, pose_a, pose_b, points, cams, pr)
+    q = jnp.sqrt(jnp.maximum(_pad_tail(w)[pr["idx"]], 0.0)) * okN
+    A = [[q * Ja[i][g] for g in range(6)] for i in range(2)]
+    B = [[q * Jb[i][g] for g in range(6)] for i in range(2)]
+    Pt = [[q * Jl[i][m] for m in range(3)] for i in range(2)]
+    eq = [q * e[0], q * e[1]]
+    # materialize the weighted rows once; everything below reads them
+    A, B, Pt, eq = jax.lax.optimization_barrier((A, B, Pt, eq))
+
+    pairs = [(v, wc) for v in range(6) for wc in range(v, 6)]     # 21
+    gram = lambda X, v, wc: X[0][v] * X[0][wc] + X[1][v] * X[1][wc]
+    rows_a = [gram(A, v, wc) for v, wc in pairs]
+    rows_a += [A[0][v] * eq[0] + A[1][v] * eq[1] for v in range(6)]
+    hab = [[gram2 for gram2 in
+            (A[0][v] * B[0][wc] + A[1][v] * B[1][wc] for wc in range(6))]
+           for v in range(6)]
+    ibf = pr["ib"]
+    for c in range(Pb):
+        mask_c = (ibf == c).astype(jnp.float32)
+        rows_a += [hab[v][wc] * mask_c for v in range(6) for wc in range(6)]
+    Ma = jax.lax.dot_general(
+        jnp.stack(rows_a, 0), pr["oha"].reshape(-1, Pa),
+        (((1,), (0,)), ((), ())), precision=_HP,
+    )
+    rows_b = [gram(B, v, wc) for v, wc in pairs]
+    rows_b += [B[0][v] * eq[0] + B[1][v] * eq[1] for v in range(6)]
+    Mb = jax.lax.dot_general(
+        jnp.stack(rows_b, 0), pr["ohb"].reshape(-1, Pb),
+        (((1,), (0,)), ((), ())), precision=_HP,
+    )
+
+    def sym_blocks(rows21, Pn):
+        Hb = jnp.zeros((6, 6, Pn))
+        for k, (v, wc) in enumerate(pairs):
+            Hb = Hb.at[v, wc].set(rows21[k])
+            if v != wc:
+                Hb = Hb.at[wc, v].set(rows21[k])
+        return Hb.transpose(2, 0, 1)                               # (Pn,6,6)
+
+    Haa = sym_blocks(Ma[:21], Pa)
+    b_pa = Ma[21:27].T                                             # (Pa,6)
+    Hbb = sym_blocks(Mb[:21], Pb)
+    b_pb = Mb[21:27].T
+    Hab = Ma[27:].reshape(Pb, 6, 6, Pa).transpose(3, 1, 0, 2)      # (Pa,6,Pb,6)
+
+    ja = jnp.arange(Pa)
+    jb = jnp.arange(Pb)
+    TL = jnp.zeros((Pa, 6, Pa, 6)).at[ja, :, ja, :].set(Haa)
+    BR = jnp.zeros((Pb, 6, Pb, 6)).at[jb, :, jb, :].set(Hbb)
+    top = jnp.concatenate([TL, Hab], axis=2)
+    bot = jnp.concatenate([Hab.transpose(2, 3, 0, 1), BR], axis=2)
+    Hf = jnp.concatenate([top, bot], axis=0).reshape(6 * P, 6 * P)
+    b_p = jnp.concatenate([b_pa, b_pb], axis=0).reshape(-1)
+
+    # point side
+    dsum = lambda x: x.reshape(L, D).sum(axis=1)
+    V6 = [dsum(gram(Pt, v, wc)) for v, wc in
+          [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]]
+    b_l = [dsum(Pt[0][m] * eq[0] + Pt[1][m] * eq[1]) for m in range(3)]
+    scale = 1.0 + lam
+    mvp = prob.movable_pt.astype(jnp.float32)
+    Vi = _inv3_soa(V6[0] * scale + 1e-8, V6[1], V6[2],
+                   V6[3] * scale + 1e-8, V6[4],
+                   V6[5] * scale + 1e-8)
+    Vinv = [[Vi[0] * mvp, Vi[1] * mvp, Vi[2] * mvp],
+            [Vi[1] * mvp, Vi[3] * mvp, Vi[4] * mvp],
+            [Vi[2] * mvp, Vi[4] * mvp, Vi[5] * mvp]]
+
+    # cross blocks W: per-obs 6x3 products -> (L, D, 18) -> one batched
+    # matmul against the one-hot pose table
+    Xa = jnp.stack(
+        [A[0][v] * Pt[0][m] + A[1][v] * Pt[1][m]
+         for v in range(6) for m in range(3)], axis=-1,
+    ).reshape(L, D, 18)
+    Xb = jnp.stack(
+        [B[0][v] * Pt[0][m] + B[1][v] * Pt[1][m]
+         for v in range(6) for m in range(3)], axis=-1,
+    ).reshape(L, D, 18)
+    Wa3 = jax.lax.dot_general(pr["oha"], Xa, (((1,), (1,)), ((0,), (0,))),
+                              precision=_HP)                # (L, Pa, 18)
+    Wb3 = jax.lax.dot_general(pr["ohb"], Xb, (((1,), (1,)), ((0,), (0,))),
+                              precision=_HP)
+    Wcat = jnp.concatenate([Wa3, Wb3], axis=1)              # (L, P, 18)
+    W = [Wcat[:, :, m::3].reshape(L, 6 * P) for m in range(3)]
+    W = jax.lax.optimization_barrier(W)
+
+    T = [Vinv[0][y][:, None] * W[0] + Vinv[1][y][:, None] * W[1]
+         + Vinv[2][y][:, None] * W[2] for y in range(3)]    # 3 x (L, 6P)
+
+    mm = lambda X, Y: jax.lax.dot_general(
+        X, Y, (((0,), (0,)), ((), ())), precision=_HP)      # X^T @ Y
+    S_corr = mm(T[0], W[0]) + mm(T[1], W[1]) + mm(T[2], W[2])
+    b_s = b_p - (T[0].T @ b_l[0] + T[1].T @ b_l[1] + T[2].T @ b_l[2])
+
+    hd = jnp.diagonal(Hf)
+    S = Hf + jnp.diag(lam * hd + 1e-8) - S_corr
+
+    movable = jnp.concatenate([prob.movable_a, prob.movable_b])
+    mvec = jnp.repeat(movable, 6).astype(jnp.float32)
+    Sf = S * mvec[:, None] * mvec[None, :] + jnp.diag(1.0 - mvec)
+    delta_f = spd_solve(Sf, b_s * mvec) * mvec
+    delta_p = delta_f.reshape(P, 6) * movable[:, None]
+
+    r = [b_l[m] - W[m] @ delta_f for m in range(3)]
+    dl = jnp.stack(
+        [Vinv[y][0] * r[0] + Vinv[y][1] * r[1] + Vinv[y][2] * r[2]
+         for y in range(3)], axis=-1,
+    )
+    return delta_p[:Pa], delta_p[Pa:], dl
+
+
+def _lm_step_soa(prob: BundleProblem, st: LMState, cams: CameraModel,
+                 bcfg: BundleConfig, pr: dict):
+    """One LM iteration, SoA fast path (obs table attached)."""
+    chi2, ok = _resid_chi2_soa(prob, st.pose_a, st.pose_b, st.points, cams)
+    med = mest.masked_median_bisect(chi2, ok)
+    sigma_sq = jnp.maximum(med, bcfg.min_sigma_px**2)
+    w = mest.weight(mest.HUBER, chi2, sigma_sq) * ok
+    cost0 = jnp.sum(mest.objective_score(mest.HUBER, chi2, sigma_sq) * ok)
+
+    da, db, dl = _solve_delta_soa(
+        prob, pr, st.pose_a, st.pose_b, st.points, cams, w, st.lam
+    )
+
+    new_pose_a = SE3.exp(da) @ st.pose_a
+    new_pose_b = SE3.exp(db) @ st.pose_b
+    new_points = st.points + dl
+
+    chi2_1, ok1 = _resid_chi2_soa(prob, new_pose_a, new_pose_b,
+                                  new_points, cams)
+    cost1 = jnp.sum(mest.objective_score(mest.HUBER, chi2_1, sigma_sq) * ok1)
+
+    accept = cost1 < cost0
+    n_upd = jnp.sum(da * da) + jnp.sum(db * db) + jnp.sum(dl * dl)
+    n_params = (
+        6.0 * (jnp.sum(prob.movable_a) + jnp.sum(prob.movable_b))
+        + 3.0 * jnp.sum(prob.movable_pt)
+    )
+    upd_rms = jnp.sqrt(n_upd / jnp.maximum(n_params, 1.0))
+    rel_delta = jnp.abs(cost0 - cost1) / jnp.maximum(cost0, 1e-20)
+    converged = (
+        (upd_rms < bcfg.update_rms_conv) | (rel_delta < bcfg.residual_delta_conv)
+    )
+
+    act = accept & ~st.converged
+    sel = lambda a, b: jax.tree_util.tree_map(
+        lambda x, y: jnp.where(act, x, y), a, b
+    )
+    return st.replace(
+        pose_a=sel(new_pose_a, st.pose_a),
+        pose_b=sel(new_pose_b, st.pose_b),
+        points=jnp.where(act, new_points, st.points),
+        lam=jnp.clip(
+            jnp.where(
+                st.converged, st.lam,
+                jnp.where(accept, st.lam * bcfg.lambda_down, st.lam * bcfg.lambda_up),
+            ),
+            1e-10, 1e8,
+        ),
+        cost=jnp.where(act, cost1, cost0),
+        sigma_sq=sigma_sq,
+        converged=st.converged | converged,
+        accepted=st.accepted + act.astype(jnp.int32),
+        iterations=st.iterations + (~st.converged).astype(jnp.int32),
+        max_update=jnp.where(act, upd_rms, st.max_update),
+    )
+
+
 def lm_step(prob: BundleProblem, st: LMState, cams: CameraModel,
             bcfg: BundleConfig = DEFAULT_BUNDLE):
     """One LM iteration with accept/reject.  Frozen once converged."""
+    if prob.obs_idx is not None:
+        return _lm_step_soa(prob, st, cams, bcfg, _soa_prep(prob))
     e, Ja, Jb, Jl, ok = _residuals_and_jacobians(
         prob, st.pose_a, st.pose_b, st.points, cams
     )
@@ -404,7 +759,11 @@ def lm_run(prob: BundleProblem, st: LMState, cams: CameraModel,
     """Run up to n_steps LM iterations (jit this; host chunks calls so
     map-maker preemption can abort between chunks like the reference's
     setForceStopFlag polling, src/ChainBundle.cc:1309)."""
+    pr = _soa_prep(prob) if prob.obs_idx is not None else None
+
     def body(s, _):
+        if pr is not None:
+            return _lm_step_soa(prob, s, cams, bcfg, pr), None
         return lm_step(prob, s, cams, bcfg), None
 
     st, _ = jax.lax.scan(body, st, None, length=n_steps)

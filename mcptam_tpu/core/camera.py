@@ -301,3 +301,113 @@ def project_jacobian_point(cam: CameraModel, v3: jnp.ndarray) -> jnp.ndarray:
     d_theta, d_phi = cam_sphere_deriv(v3)            # (...,3) each
     dsph = jnp.stack([d_theta, d_phi], axis=-2)      # (...,2,3)
     return jnp.einsum("...ij,...jk->...ik", duv, dsph)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-component ("SoA") variants for the bundle-adjustment hot path
+# ---------------------------------------------------------------------------
+#
+# TPU arrays tile their two minor dimensions to (8, 128); a (K, 2, 2)
+# Jacobian array therefore stores 4 floats in a 1024-float tile.  The BA
+# normal-equation assembly touches tens of such tensors per measurement,
+# so the AoS layout wastes ~2 orders of magnitude of bandwidth.  These
+# helpers keep every per-measurement quantity as a flat (N,) array
+# (python lists standing in for the small fixed dims), which vectorizes
+# perfectly and lets XLA fuse the whole chain.  Math is identical to
+# project/projection_derivs_sphere/cam_sphere_deriv above
+# (ref src/TaylorCamera.cc:202-287,353-383,617-669).
+
+def camera_soa(cam: CameraModel, idx: jnp.ndarray) -> dict:
+    """Gather per-measurement camera parameters as flat component arrays.
+
+    cam carries a leading camera axis; idx is the (N,) per-measurement
+    camera index."""
+    g = lambda t: t[idx]
+    return {
+        "inv_poly": [g(cam.inv_poly[..., i]) for i in range(cam.inv_poly.shape[-1])],
+        "poly": [g(cam.poly[..., i]) for i in range(cam.poly.shape[-1])],
+        "pdm": [g(cam.poly_deriv_mod[..., i]) for i in range(cam.poly_deriv_mod.shape[-1])],
+        "theta_mean": g(cam.theta_mean),
+        "theta_std": g(cam.theta_std),
+        "min_theta": g(cam.min_theta),
+        "cx": g(cam.center[..., 0]),
+        "cy": g(cam.center[..., 1]),
+        "a00": g(cam.affine[..., 0, 0]),
+        "a01": g(cam.affine[..., 0, 1]),
+        "a10": g(cam.affine[..., 1, 0]),
+        "a11": g(cam.affine[..., 1, 1]),
+        "wm1": g(cam.image_size[..., 0]) - 1.0,
+        "hm1": g(cam.image_size[..., 1]) - 1.0,
+    }
+
+
+def _horner_soa(coeffs: list, x: jnp.ndarray) -> jnp.ndarray:
+    val = jnp.zeros_like(x)
+    for i in range(len(coeffs) - 1, 0, -1):
+        val = (val + coeffs[i]) * x
+    return val + coeffs[0]
+
+
+def project_chain_soa(camf: dict, x, y, z, with_derivs: bool = True):
+    """Projection + (optionally) the full derivative chain, SoA.
+
+    Returns a dict with u, v, ok, and when with_derivs: duv (2x3 nested
+    list, d uv / d p_cam — the product of the 2x2 image-from-sphere
+    Jacobian with the sphere-coordinate derivs, ref
+    EdgeChainMeas::linearizeOplus src/ChainBundle.cc:449-749)."""
+    n2 = x * x + y * y
+    norm = jnp.sqrt(n2)
+    theta = jnp.arctan2(z, norm)
+    fov_ok = theta >= camf["min_theta"]
+
+    tn = (theta - camf["theta_mean"]) / camf["theta_std"]
+    rho = _horner_soa(camf["inv_poly"], tn)
+
+    zero_n = norm == 0
+    norm_safe = jnp.where(zero_n, 1.0, norm)
+    cos_phi = jnp.where(zero_n, 0.0, x / norm_safe)
+    sin_phi = jnp.where(zero_n, 0.0, y / norm_safe)
+    rho = jnp.where(zero_n, 0.0, rho)
+
+    ux = cos_phi * rho
+    uy = sin_phi * rho
+    u = camf["a00"] * ux + camf["a01"] * uy + camf["cx"]
+    v = camf["a10"] * ux + camf["a11"] * uy + camf["cy"]
+    ok = (
+        fov_ok & (u >= 0) & (v >= 0) & (u < camf["wm1"]) & (v < camf["hm1"])
+    )
+    out = {"u": u, "v": v, "ok": ok}
+    if not with_derivs:
+        return out
+
+    w_ = _horner_soa(camf["poly"], rho)
+    denom = _horner_soa(camf["pdm"], rho)
+    drho = (rho * rho + w_ * w_) / jnp.where(denom == 0, 1.0, denom)
+    # duv2 = affine @ [[c*drho, -s*rho], [s*drho, c*rho]]
+    d00 = camf["a00"] * cos_phi * drho + camf["a01"] * sin_phi * drho
+    d01 = -camf["a00"] * sin_phi * rho + camf["a01"] * cos_phi * rho
+    d10 = camf["a10"] * cos_phi * drho + camf["a11"] * sin_phi * drho
+    d11 = -camf["a10"] * sin_phi * rho + camf["a11"] * cos_phi * rho
+
+    # sphere coordinate derivs (GetCamSphereDeriv)
+    z2 = z * z
+    n3dn = norm * n2 + norm * z2
+    dn_safe = jnp.where(n3dn == 0, 1.0, n3dn)
+    r2 = n2 + z2
+    dth = [
+        jnp.where(zero_n, 0.0, -z * x / dn_safe),
+        jnp.where(zero_n, 0.0, -z * y / dn_safe),
+        jnp.where(zero_n, 0.0, norm / jnp.where(r2 == 0, 1.0, r2)),
+    ]
+    n2_safe = jnp.where(zero_n, 1.0, n2)
+    dph = [
+        jnp.where(zero_n, 0.0, -y / n2_safe),
+        jnp.where(zero_n, 0.0, x / n2_safe),
+        jnp.zeros_like(x),
+    ]
+    # duv[i][l] = duv2[i][0]*dth[l] + duv2[i][1]*dph[l]
+    out["duv"] = [
+        [d00 * dth[l] + d01 * dph[l] for l in range(3)],
+        [d10 * dth[l] + d11 * dph[l] for l in range(3)],
+    ]
+    return out
