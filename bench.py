@@ -113,80 +113,75 @@ def bench_e2e(n_frames: int = 60):
     return e2e_fps, jit_fps, float(np.mean(found)), float(np.max(errs))
 
 
-def bench_lm(n_poses: int = 12, n_points: int = 2048, n_cams: int = 4,
-             chunks: int = 6, chunk: int = 10):
-    """LM iterations/sec on a global-BA-sized problem."""
+def bench_lm(chunks: int = 6, chunk: int = 10):
+    """LM iterations/sec on the PRODUCTION layout (grouped obs table, the
+    path system/mapmaker.py runs) at the three scales the scheduler sees:
+    the compacted local problem, a mid-size global problem, and the full
+    static-capacity global problem.  D is sized from the data exactly like
+    MapMaker._sized_table; the bench asserts no Hessian edges were
+    dropped.  Returns ({name: iters/sec}, fidelity_err_px)."""
+    import sys as _sys
     import jax
     import jax.numpy as jnp
-    from mcptam_tpu.core.se3 import SE3
-    from mcptam_tpu.core.camera import project
-    from mcptam_tpu.io.synthetic import make_rig
-    from mcptam_tpu.ba.bundle import BundleProblem, create_lm_state, lm_run
-
-    rng = np.random.default_rng(0)
-    H, W = 480, 640
-    cams, cam_from_base = make_rig(n_cams, H, W, spread_deg=25.0)
-    gt = rng.normal(size=(n_poses, 6)) * np.array([0.1] * 3 + [0.03] * 3)
-    gt[0] = 0
-    pose_a_gt = SE3.exp(jnp.asarray(gt, jnp.float32))
-    dirs = rng.normal(size=(n_points, 3))
-    dirs[:, 2] = np.abs(dirs[:, 2]) + 0.8
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    pts_gt = jnp.asarray(dirs * rng.uniform(3, 8, (n_points, 1)), jnp.float32)
-
-    mpa, mpb, mpt, muv, mok = [], [], [], [], []
-    for p in range(n_poses):
-        for c in range(n_cams):
-            pose = jax.tree_util.tree_map(
-                lambda a: a[c], cam_from_base
-            ) @ jax.tree_util.tree_map(lambda a: a[p], pose_a_gt)
-            cam_c = jax.tree_util.tree_map(lambda a: a[c], cams)
-            uv, ok = project(cam_c, pose.apply(pts_gt))
-            muv.append(np.asarray(uv))
-            mok.append(np.asarray(ok))
-            mpa.append(np.full(n_points, p))
-            mpb.append(np.full(n_points, c))
-            mpt.append(np.arange(n_points))
-    pert = rng.normal(size=(n_poses, 6)) * 0.01
-    pert[0] = 0
-    pts_pert = pts_gt + jnp.asarray(
-        rng.normal(size=(n_points, 3)) * 0.02, jnp.float32
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from bench_ba import build
+    from mcptam_tpu.ba.bundle import (
+        create_lm_state, lm_run, attach_obs_table, max_obs_per_point,
     )
-    prob = BundleProblem(
-        pose_a=SE3.exp(jnp.asarray(pert, jnp.float32)) @ pose_a_gt,
-        pose_b=cam_from_base,
-        movable_a=jnp.asarray([False] + [True] * (n_poses - 1)),
-        movable_b=jnp.zeros(n_cams, bool),
-        points=pts_pert,
-        movable_pt=jnp.ones(n_points, bool),
-        m_pose_a=jnp.asarray(np.concatenate(mpa), jnp.int32),
-        m_pose_b=jnp.asarray(np.concatenate(mpb), jnp.int32),
-        m_point=jnp.asarray(np.concatenate(mpt), jnp.int32),
-        m_cam=jnp.asarray(np.concatenate(mpb), jnp.int32),
-        m_uv=jnp.asarray(np.concatenate(muv), jnp.float32),
-        m_level=jnp.zeros(n_poses * n_cams * n_points, jnp.int32),
-        m_valid=jnp.asarray(np.concatenate(mok)),
-    )
-    run = jax.jit(lambda p, s: lm_run(p, s, cams, chunk))
-    st = create_lm_state(prob)
-    st = run(prob, st)              # compile
-    st.cost.block_until_ready()
-    st = create_lm_state(prob)
-    t0 = time.perf_counter()
-    for _ in range(chunks):
-        st = run(prob, st)
-    st.cost.block_until_ready()
-    dt = time.perf_counter() - t0
-    iters = chunks * chunk
-    # fidelity on the same (noiseless) problem: mean reprojection error of
-    # the converged f32 solution vs the exact synthetic measurements
+    from mcptam_tpu.system.mapmaker import _bucket
+
+    cases = {
+        # local BA: newest + 3 neighbors over their points (snRecentNum=3)
+        "local": dict(n_poses=4, n_points=512, n_cams=4, sparse_k=2048),
+        # global BA, mid-size live map
+        "global": dict(n_poses=16, n_points=2048, n_cams=4, sparse_k=8192),
+        # full static capacity (MAX_MKFS=48 x MAX_POINTS=4096 x MAX_MEAS)
+        "capacity": dict(n_poses=48, n_points=4096, n_cams=4,
+                         sparse_k=32768),
+    }
+    out = {}
+    fid_err = None
+    for name, kw in cases.items():
+        prob, cams = build(**kw)
+        dmax = int(jax.device_get(max_obs_per_point(prob)))
+        D = _bucket(max(dmax, 1), (8, 16, 24, 32, 48, 64))
+        prob_t = attach_obs_table(prob, D)
+        n_drop = int(jax.device_get(prob_t.obs_dropped))
+        assert n_drop == 0, (
+            f"bench_lm[{name}]: obs table D={D} dropped {n_drop} "
+            f"measurements (max per-point count {dmax})"
+        )
+        run = jax.jit(lambda p, s: lm_run(p, s, cams, chunk))
+        st = create_lm_state(prob_t)
+        st = run(prob_t, st)              # compile
+        st.cost.block_until_ready()
+        st = create_lm_state(prob_t)
+        t0 = time.perf_counter()
+        for _ in range(chunks):
+            st = run(prob_t, st)
+        st.cost.block_until_ready()
+        dt = time.perf_counter() - t0
+        out[name] = chunks * chunk / dt
+
+    # fidelity: mean reprojection error the f32 LM leaves on a NOISELESS
+    # synthetic bundle (target < 1e-3 px), on the same production layout
     from mcptam_tpu.ba.bundle import _residuals_and_jacobians
+    prob, cams = build(n_poses=8, n_points=512, n_cams=4, noise=0.0)
+    prob_t = attach_obs_table(
+        prob, _bucket(int(jax.device_get(max_obs_per_point(prob))),
+                      (8, 16, 24, 32, 48, 64))
+    )
+    st = create_lm_state(prob_t)
+    st = jax.jit(lambda p, s: lm_run(p, s, cams, 30))(prob_t, st)
     e, _, _, _, ok = _residuals_and_jacobians(
         prob, st.pose_a, st.pose_b, st.points, cams
     )
-    err = np.asarray(jnp.sum(jnp.linalg.norm(e, axis=-1) * ok)
-                     / jnp.maximum(jnp.sum(ok), 1))
-    return iters / dt, float(err)
+    fid_err = float(np.asarray(
+        jnp.sum(jnp.linalg.norm(e, axis=-1) * ok)
+        / jnp.maximum(jnp.sum(ok), 1)
+    ))
+    return out, fid_err
 
 
 def main():
@@ -202,7 +197,9 @@ def main():
         "vs_baseline": round(value / 200.0, 4),
         "extra": {
             "jit_step_fps": round(jit_fps, 2),
-            "lm_iters_per_sec": round(lm_ips, 2),
+            "lm_iters_per_sec": round(lm_ips["global"], 2),
+            "lm_iters_per_sec_local": round(lm_ips["local"], 2),
+            "lm_iters_per_sec_capacity": round(lm_ips["capacity"], 2),
             "reproj_err_delta_px": float(f"{reproj_delta:.2e}"),
             "mean_found": round(mean_found, 1),
             "max_pose_err": round(max_err, 5),

@@ -180,6 +180,16 @@ def compact_problem(prob: BundleProblem, max_points: int = LOCAL_POINTS,
     )
 
 
+def problem_live_counts(prob: BundleProblem):
+    """(points referenced by a valid measurement, valid measurements) —
+    device scalars the scheduler fetches to pick compaction buckets."""
+    L = prob.points.shape[0]
+    pt_used = jnp.zeros(L, bool).at[prob.m_point].max(prob.m_valid)
+    return jnp.sum(pt_used.astype(jnp.int32)), jnp.sum(
+        prob.m_valid.astype(jnp.int32)
+    )
+
+
 def expand_outliers(prob: BundleProblem, outlier_mask, full_K: int):
     """Scatter a (possibly compacted) problem's outlier mask back onto the
     full measurement array."""

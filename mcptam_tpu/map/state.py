@@ -288,27 +288,36 @@ def refresh_scene_depths(ms: MapState) -> MapState:
     )
 
 
-def mkf_distance(ms: MapState, pose_a: SE3, mean_depth_a, idx_b):
-    """Depth-aware distance between a query pose and MKF slot b, following
-    KeyFrame::Distance (src/KeyFrame.cc:715-747) applied at the MKF base:
-    |camPos diff| + 0.5 * |meanDepthPoint diff|."""
+def pose_depth_distance(pose_a: SE3, mean_depth_a, pose_b: SE3, depth_b):
+    """Depth-aware distance between two base poses, following
+    KeyFrame::Distance (src/KeyFrame.cc:715-747):
+    |camPos diff| + 0.5 * |meanDepthPoint diff|.  pose_b/depth_b may be
+    batched; used against map MKFs AND MKFs still in the map-maker queue
+    (MapMakerClientBase::NeedNewMultiKeyFrame, src/MapMakerClientBase.cc:
+    111-152)."""
     frac = 0.5  # sdDistanceMeanDiffFraction default
-    pose_b = ms.mkfs.base_from_world[idx_b]
     a_inv = pose_a.inv()
     b_inv = pose_b.inv()
     d_cam = jnp.linalg.norm(b_inv.t - a_inv.t, axis=-1)
+    pa = a_inv.apply(jnp.array([0.0, 0.0, 1.0]) * mean_depth_a)
+    depth_b = jnp.asarray(depth_b)
+    pb = b_inv.apply(
+        jnp.stack([jnp.zeros_like(depth_b), jnp.zeros_like(depth_b), depth_b], -1)
+    )
+    d_mean = jnp.linalg.norm(pb - pa, axis=-1)
+    return d_cam + frac * d_mean
+
+
+def mkf_distance(ms: MapState, pose_a: SE3, mean_depth_a, idx_b):
+    """pose_depth_distance between a query pose and MKF slot b."""
+    pose_b = ms.mkfs.base_from_world[idx_b]
     depth_b = jnp.mean(
         jnp.where(ms.mkfs.kf_valid[idx_b], ms.mkfs.scene_depth_mean[idx_b], 0.0),
         axis=-1,
     ) / jnp.maximum(
         jnp.mean(ms.mkfs.kf_valid[idx_b].astype(jnp.float32), axis=-1), 1e-9
     )
-    pa = a_inv.apply(jnp.array([0.0, 0.0, 1.0]) * mean_depth_a)
-    pb = b_inv.apply(
-        jnp.stack([jnp.zeros_like(depth_b), jnp.zeros_like(depth_b), depth_b], -1)
-    )
-    d_mean = jnp.linalg.norm(pb - pa, axis=-1)
-    return d_cam + frac * d_mean
+    return pose_depth_distance(pose_a, mean_depth_a, pose_b, depth_b)
 
 
 def kf_distance_table(ms: MapState, mkf_idx, cam_idx):

@@ -28,7 +28,7 @@ from mcptam_tpu.map.mapmaker_core import init_from_mkf, integrate_mkf_device
 from mcptam_tpu.map.refind import refind_in_keyframes
 from mcptam_tpu.ba.adjusters import (
     problem_all, problem_recent, writeback, apply_outliers,
-    compact_problem, expand_outliers,
+    compact_problem, expand_outliers, problem_live_counts,
 )
 from mcptam_tpu.ba.bundle import (
     create_lm_state, lm_run, tukey_outlier_pass, point_depth_covariance,
@@ -39,7 +39,15 @@ from mcptam_tpu.system.timing import MapMakerTiming
 MM_INITIALIZING = 0
 MM_RUNNING = 1
 
-BA_CHUNK = 10  # LM steps per scheduler call (preemption granularity)
+BA_CHUNK = 5   # LM steps per scheduler tick (preemption granularity)
+
+
+def _bucket(n: int, buckets) -> int:
+    """Smallest bucket >= n (last bucket if none)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
 
 
 @dataclass
@@ -70,6 +78,27 @@ class MapMaker:
             lambda prob, st, n=BA_CHUNK: lm_run(prob, st, self.cams, n, self.bcfg)
         )
         self._integrate_cache = {}
+
+    def _sized_table(self, prob):
+        """Attach the grouped observation table with D sized from the
+        data: the largest per-point measurement count, bucketed (static
+        shapes), floored at the configured obs_cap and hard-capped at 64.
+        A drop (max count beyond the cap) is logged instead of silently
+        biasing the Hessian (round-2 ADVICE #2)."""
+        import logging
+        from mcptam_tpu.ba.bundle import max_obs_per_point
+        dmax = int(jax.device_get(max_obs_per_point(prob)))
+        D = _bucket(max(dmax, 1), (8, 16, 24, 32, 48, 64))
+        D = max(min(D, 64), min(self.bcfg.obs_cap, 64))
+        prob = attach_obs_table(prob, D)
+        if dmax > D:
+            n_drop = int(jax.device_get(prob.obs_dropped))
+            logging.getLogger(__name__).warning(
+                "obs table capacity %d < max per-point count %d: "
+                "%d measurements dropped from the normal equations",
+                D, dmax, n_drop,
+            )
+        return prob
 
     def _integrate(self, ms, feats, pose, result, cam_active):
         """Jitted MKF integration (one device program instead of eager
@@ -208,16 +237,32 @@ class MapMaker:
                 self._ba_kind = "local"
                 # compacted local problem: LM step cost independent of the
                 # total map size (edges restricted to the local set, ref
-                # src/BundleAdjusterBase.cc:188-265)
+                # src/BundleAdjusterBase.cc:188-265).  D is STATIC here
+                # (obs_cap) so local lm_run compiles exactly once; a local
+                # point with more than obs_cap observations (its fixed
+                # anchor MKFs included) loses the excess from the normal
+                # equations — obs_dropped is checked and logged when the
+                # run completes, at an existing sync point.
                 self._ba_prob = attach_obs_table(
                     compact_problem(problem_recent(ms, self.bcfg.recent_num)),
                     self.bcfg.obs_cap,
                 )
             elif not self._global_done:
                 self._ba_kind = "global"
-                self._ba_prob = attach_obs_table(
-                    problem_all(ms), self.bcfg.obs_cap
-                )
+                # compact the global problem to the live point/measurement
+                # counts (bucketed so shapes stay static per bucket): a
+                # half-full map must not pay full-capacity LM iterations
+                prob = problem_all(ms)
+                n_pt, n_m = (int(x) for x in jax.device_get(
+                    problem_live_counts(prob)
+                ))
+                L_cap = prob.points.shape[0]
+                K_cap = prob.m_valid.shape[0]
+                self._ba_prob = self._sized_table(compact_problem(
+                    prob,
+                    max_points=min(_bucket(n_pt, (512, 1024, 2048)), L_cap),
+                    max_meas=min(_bucket(n_m, (4096, 8192, 16384)), K_cap),
+                ))
             else:
                 # idle: trash GC + periodic refinds.  The failure queue
                 # (outlier pairs awaiting a second chance) is retried as a
@@ -245,13 +290,31 @@ class MapMaker:
             self._ba_state = create_lm_state(self._ba_prob, self.bcfg)
             self._ba_steps = 0
 
+        # pipelined convergence: dispatch this chunk, then read the
+        # PREVIOUS chunk's flag — that fetch only waits for work already
+        # on the device, so host bookkeeping overlaps the running chunk
+        # (the reference's free-running map-maker thread never blocks the
+        # tracker either, src/MapMaker.cc:131-133).  Costs at most one
+        # extra chunk of frozen (converged) iterations per BA run, and
+        # bounds in-flight work to one chunk.
+        prev = self._ba_state
         self._ba_state = self._lm_run(self._ba_prob, self._ba_state)
         self._ba_steps += BA_CHUNK
-        converged = bool(self._ba_state.converged)
+        converged = self._ba_steps > BA_CHUNK and bool(
+            jax.device_get(prev.converged)
+        )
         exhausted = self._ba_steps >= self.bcfg.max_iterations
 
         if converged or exhausted:
             accepted = int(self._ba_state.accepted)
+            n_drop = int(jax.device_get(self._ba_prob.obs_dropped))
+            if n_drop > 0:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "%s BA: obs table dropped %d measurements from the "
+                    "normal equations (D too small for some point)",
+                    self._ba_kind, n_drop,
+                )
             if accepted > 0:
                 ms = writeback(ms, self._ba_prob, self._ba_state)
                 outliers = tukey_outlier_pass(

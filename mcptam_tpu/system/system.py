@@ -116,6 +116,16 @@ class System:
         # heuristic — a single dispatch and a single host sync per frame
         # instead of one per stage (the tunnel round-trip is the cost)
         self._step_fn = jax.jit(self._device_step)
+        # static-capacity queued-MKF pose slots for the add heuristic;
+        # the all-empty constant is cached so the common (empty-queue)
+        # frame uploads nothing
+        self._qcap = 2
+        self._empty_queue_poses = (
+            jnp.broadcast_to(jnp.eye(3), (self._qcap, 3, 3)),
+            jnp.zeros((self._qcap, 3)),
+            jnp.ones((self._qcap,)),
+            jnp.zeros((self._qcap,), bool),
+        )
         self._last_result = None
         from mcptam_tpu.ops.minipatch import filter_frame_candidates
         self._cand_filter_fn = jax.jit(filter_frame_candidates)
@@ -127,9 +137,17 @@ class System:
         )
 
     # ------------------------------------------------------------------
-    def _device_step(self, ts, ms, feats, cam_active):
+    def _device_step(self, ts, ms, feats, cam_active, queue_poses):
         """Fused per-frame device program: track, fold point stats (gated
-        on not-lost), evaluate the add-MKF heuristic."""
+        on not-lost), evaluate the add-MKF heuristic.  Also emits every
+        scalar the host consumes this frame (control flow + FrameInfo +
+        map counters) so process_frame needs exactly ONE device_get.
+
+        queue_poses: (qR (Q,3,3), qt (Q,3), qdepth (Q,), qvalid (Q,)) —
+        MKFs still in the map-maker queue; the add heuristic measures
+        distance to them too (MapMakerClientBase::NeedNewMultiKeyFrame,
+        src/MapMakerClientBase.cc:111-152)."""
+        from mcptam_tpu.map.state import pose_depth_distance
         ts2, res = track_frame(
             ts, ms, self.cams, self.cams_sbi, feats, self.tcfg,
             cam_active=cam_active,
@@ -138,10 +156,17 @@ class System:
             ms, res, self.mcfg.min_outliers, self.mcfg.outlier_multiplier,
             enable=~res.lost,
         )
-        add, _ = need_new_mkf(ms2, res.pose, jnp.mean(res.mean_depth),
-                              self.mcfg)
+        mean_depth = jnp.mean(res.mean_depth)
+        qR, qt, qdepth, qvalid = queue_poses
+        dq = pose_depth_distance(res.pose, mean_depth, SE3(R=qR, t=qt), qdepth)
+        queue_dist = jnp.min(jnp.where(qvalid, dq, jnp.inf))
+        add, _ = need_new_mkf(ms2, res.pose, mean_depth, self.mcfg,
+                              queue_dist=queue_dist)
         add = add & (res.quality == QUALITY_GOOD) & ~res.lost
-        return ts2, ms2, res, add
+        scalars = (res.lost, res.quality, add, res.tot_found,
+                   count_points(ms2), count_mkfs(ms2),
+                   res.pose.R, res.pose.t, res.cov)
+        return ts2, ms2, res, scalars
 
     def _build_feats_fn(self):
         masks = self._static_masks
@@ -228,14 +253,28 @@ class System:
                 self.initialized = True
                 self.mapmaker.on_map_changed()
 
-        self.ts, self.ms, res, add_flag = self._step_fn(
-            self.ts, self.ms, feats, cam_active
+        qposes = self._empty_queue_poses
+        if self.mapmaker.queue_size() > 0:
+            # rare path: stack the queued MKF poses/depths into the static
+            # slots (device-side tree ops, no host sync)
+            qR, qt, qd, qv = (list(x) for x in qposes)
+            for i, (_, qpose, qres, _) in enumerate(
+                self.mapmaker.queue[: self._qcap]
+            ):
+                qR[i], qt[i] = qpose.R, qpose.t
+                qd[i] = (jnp.mean(qres.mean_depth)
+                         if qres is not None else jnp.asarray(1.0))
+                qv[i] = jnp.ones((), bool)
+            qposes = (jnp.stack(qR), jnp.stack(qt),
+                      jnp.stack(qd), jnp.stack(qv))
+        self.ts, self.ms, res, scalars = self._step_fn(
+            self.ts, self.ms, feats, cam_active, qposes
         )
-        # one batched host sync for every per-frame control-flow scalar
-        lost, quality, add_flag, tot_found = (
-            np.asarray(x) for x in jax.device_get(
-                (res.lost, res.quality, add_flag, res.tot_found)
-            )
+        # THE host sync of the common path: every control-flow scalar,
+        # FrameInfo field and map counter in one batched device_get
+        (lost, quality, add_flag, tot_found, n_pts, n_mkfs,
+         pose_R, pose_t, cov) = (
+            np.asarray(x) for x in jax.device_get(scalars)
         )
         timing.fine = sw.lap()
 
@@ -292,16 +331,15 @@ class System:
         timing.total = (
             timing.kf_downsample + timing.fine + timing.add + timing.depth
         )
-        n_pts, n_mkfs = jax.device_get(
-            (count_points(self.ms), count_mkfs(self.ms))
-        )
+        # map counters come from the fused step (post point-stats): they
+        # lag this frame's map-maker integrations by one frame, which is
+        # fine for a monitoring field and saves a second host round-trip
         timing.map_num_points = int(n_pts)
         timing.map_num_mkfs = int(n_mkfs)
 
         self.frame_count += 1
         self._prev_feats = feats
         self._last_result = res
-        pose_R, pose_t, cov = jax.device_get((res.pose.R, res.pose.t, res.cov))
         pose34 = np.concatenate(
             [np.asarray(pose_R), np.asarray(pose_t)[:, None]], axis=1
         )

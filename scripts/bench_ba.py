@@ -22,10 +22,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import numpy as np
 
 
-def build(n_poses, n_points, n_cams, H=480, W=640, seed=0, sparse_k=None):
+def build(n_poses, n_points, n_cams, H=480, W=640, seed=0, sparse_k=None,
+          noise=0.3):
     """sparse_k: if set, sample that many random (pose, cam, point)
     measurements instead of the dense product — the realistic shape of a
-    capacity-sized map (MAX_MEAS measurements over MAX_POINTS points)."""
+    capacity-sized map (MAX_MEAS measurements over MAX_POINTS points).
+    noise: measurement noise sigma in pixels (0 for fidelity oracles)."""
     import jax.numpy as jnp
     from mcptam_tpu.core.se3 import SE3
     from mcptam_tpu.core.camera import project
@@ -44,33 +46,32 @@ def build(n_poses, n_points, n_cams, H=480, W=640, seed=0, sparse_k=None):
 
     mpa, mpb, mpt, mcam, muv, mlvl, mok = [], [], [], [], [], [], []
     if sparse_k is not None:
+        # ONE batched projection over all sampled (pose, cam, point)
+        # triples — a per-(pose,cam) loop here used to compile a separate
+        # XLA program per data-dependent subset shape (up to 192 compiles
+        # at capacity scale, minutes of wall time on a tunneled chip)
+        import jax
         p_ids = rng.integers(0, n_poses, sparse_k)
         c_ids = rng.integers(0, n_cams, sparse_k)
         t_ids = rng.integers(0, n_points, sparse_k)
-        import jax
-        kcw_R = np.zeros((sparse_k, 3, 3), np.float32)
-        for p in range(n_poses):
-            for c in range(n_cams):
-                sel = (p_ids == p) & (c_ids == c)
-                if not sel.any():
-                    continue
-                pose = cam_from_base[c] @ pose_a_gt[p]
-                cam_c = jax.tree_util.tree_map(lambda a: a[c], cams)
-                uv, ok = project(cam_c, pose.apply(pts[t_ids[sel]]))
-                muv.append(np.asarray(uv)
-                           + rng.normal(size=(int(sel.sum()), 2)) * 0.3)
-                mok.append(np.asarray(ok))
-                mpa.append(np.full(int(sel.sum()), p))
-                mpb.append(np.full(int(sel.sum()), c))
-                mpt.append(t_ids[sel])
-                mcam.append(np.full(int(sel.sum()), c))
-                mlvl.append(np.zeros(int(sel.sum())))
+        pose_m = jax.tree_util.tree_map(
+            lambda a: a[c_ids], cam_from_base
+        ) @ jax.tree_util.tree_map(lambda a: a[p_ids], pose_a_gt)
+        cam_m = jax.tree_util.tree_map(lambda a: a[c_ids], cams)
+        uv, ok = jax.jit(project)(cam_m, pose_m.apply(pts[t_ids]))
+        muv.append(np.asarray(uv) + rng.normal(size=(sparse_k, 2)) * noise)
+        mok.append(np.asarray(ok))
+        mpa.append(p_ids)
+        mpb.append(c_ids)
+        mpt.append(t_ids)
+        mcam.append(c_ids)
+        mlvl.append(np.zeros(sparse_k))
     else:
         for p in range(n_poses):
             for c in range(n_cams):
                 pose = cam_from_base[c] @ pose_a_gt[p]
                 uv, ok = project(cams[c], pose.apply(pts))
-                muv.append(np.asarray(uv) + rng.normal(size=(n_points, 2)) * 0.3)
+                muv.append(np.asarray(uv) + rng.normal(size=(n_points, 2)) * noise)
                 mok.append(np.asarray(ok))
                 mpa.append(np.full(n_points, p))
                 mpb.append(np.full(n_points, c))
