@@ -209,7 +209,7 @@ def _robust(e, ok, bcfg: BundleConfig):
     """Adaptive Huber: sigma = max(sqrt(median chi2), min_sigma)
     (ref RobustKernelAdaptive, src/ChainBundle.cc:871-901)."""
     chi2 = jnp.sum(e * e, axis=-1)
-    med = mest.masked_median_bisect(chi2, ok)
+    med = mest.masked_median_hist(chi2, ok)
     sigma_sq = jnp.maximum(med, bcfg.min_sigma_px**2)
     w = mest.weight(mest.HUBER, chi2, sigma_sq) * ok
     cost = jnp.sum(mest.objective_score(mest.HUBER, chi2, sigma_sq) * ok)
@@ -618,11 +618,13 @@ def _solve_delta_soa(prob: BundleProblem, pr: dict, pose_a: SE3,
     return delta_p[:Pa], delta_p[Pa:], dl
 
 
-def _lm_step_soa(prob: BundleProblem, st: LMState, cams: CameraModel,
-                 bcfg: BundleConfig, pr: dict):
-    """One LM iteration, SoA fast path (obs table attached)."""
-    chi2, ok = _resid_chi2_soa(prob, st.pose_a, st.pose_b, st.points, cams)
-    med = mest.masked_median_bisect(chi2, ok)
+def _lm_step_soa_carried(prob: BundleProblem, st: LMState, chi2, ok,
+                         cams: CameraModel, bcfg: BundleConfig, pr: dict):
+    """One LM iteration, SoA fast path, with the CURRENT-estimate chi2
+    carried in (and out) so a scanned lm_run evaluates residuals over the
+    full measurement set once per iteration (the trial pass) instead of
+    twice.  Returns (st', chi2', ok') where chi2'/ok' are at st'.params."""
+    med = mest.masked_median_hist(chi2, ok)
     sigma_sq = jnp.maximum(med, bcfg.min_sigma_px**2)
     w = mest.weight(mest.HUBER, chi2, sigma_sq) * ok
     cost0 = jnp.sum(mest.objective_score(mest.HUBER, chi2, sigma_sq) * ok)
@@ -655,7 +657,7 @@ def _lm_step_soa(prob: BundleProblem, st: LMState, cams: CameraModel,
     sel = lambda a, b: jax.tree_util.tree_map(
         lambda x, y: jnp.where(act, x, y), a, b
     )
-    return st.replace(
+    st_new = st.replace(
         pose_a=sel(new_pose_a, st.pose_a),
         pose_b=sel(new_pose_b, st.pose_b),
         points=jnp.where(act, new_points, st.points),
@@ -673,6 +675,17 @@ def _lm_step_soa(prob: BundleProblem, st: LMState, cams: CameraModel,
         iterations=st.iterations + (~st.converged).astype(jnp.int32),
         max_update=jnp.where(act, upd_rms, st.max_update),
     )
+    chi2_new = jnp.where(act, chi2_1, chi2)
+    ok_new = jnp.where(act, ok1, ok)
+    return st_new, chi2_new, ok_new
+
+
+def _lm_step_soa(prob: BundleProblem, st: LMState, cams: CameraModel,
+                 bcfg: BundleConfig, pr: dict):
+    """One LM iteration, SoA fast path (obs table attached)."""
+    chi2, ok = _resid_chi2_soa(prob, st.pose_a, st.pose_b, st.points, cams)
+    st_new, _, _ = _lm_step_soa_carried(prob, st, chi2, ok, cams, bcfg, pr)
+    return st_new
 
 
 def lm_step(prob: BundleProblem, st: LMState, cams: CameraModel,
@@ -758,12 +771,28 @@ def lm_run(prob: BundleProblem, st: LMState, cams: CameraModel,
            n_steps: int, bcfg: BundleConfig = DEFAULT_BUNDLE) -> LMState:
     """Run up to n_steps LM iterations (jit this; host chunks calls so
     map-maker preemption can abort between chunks like the reference's
-    setForceStopFlag polling, src/ChainBundle.cc:1309)."""
-    pr = _soa_prep(prob) if prob.obs_idx is not None else None
+    setForceStopFlag polling, src/ChainBundle.cc:1309).
+
+    SoA path: the current-estimate chi2 is computed once and carried
+    through the scan, so each iteration pays one full-K residual pass
+    (the trial), not two."""
+    if prob.obs_idx is not None:
+        pr = _soa_prep(prob)
+        chi2, ok = _resid_chi2_soa(prob, st.pose_a, st.pose_b,
+                                   st.points, cams)
+
+        def body(carry, _):
+            s, c2, okc = carry
+            s, c2, okc = _lm_step_soa_carried(prob, s, c2, okc, cams,
+                                              bcfg, pr)
+            return (s, c2, okc), None
+
+        (st, _, _), _ = jax.lax.scan(
+            body, (st, chi2, ok), None, length=n_steps
+        )
+        return st
 
     def body(s, _):
-        if pr is not None:
-            return _lm_step_soa(prob, s, cams, bcfg, pr), None
         return lm_step(prob, s, cams, bcfg), None
 
     st, _ = jax.lax.scan(body, st, None, length=n_steps)
@@ -841,5 +870,5 @@ def point_depth_covariance(prob: BundleProblem, st: LMState,
         dist, 1e-9
     ) ** 4
     has_obs = jnp.zeros(L, bool).at[prob.m_point].max(ok) & prob.movable_pt
-    med = mest.masked_median_bisect(cov, has_obs)
+    med = mest.masked_median_hist(cov, has_obs)
     return med, cov

@@ -133,6 +133,13 @@ class MapMakerConfig:
     fail_dump_path: str = ""
     # epipolar search: arc samples per candidate (the reference instead
     # steps the arc at ~3 px via OnePixelAngle; static here for XLA)
+    # static epipolar-arc hypothesis budget: arcs up to (NH-1) x 3 source
+    # px sample at >= the reference's stepping density
+    # (src/MapMakerServerBase.cc:700-702).  Raise (64/128) for
+    # wide-baseline rigs with long arcs; the ambiguity window is
+    # density-invariant so a larger budget only adds coverage.  64 was
+    # measured to ADD marginal triangulations on the synthetic close-rig
+    # scene (tracking err 0.03 -> 0.05), so denser is not blindly better.
     epi_max_hypotheses: int = 32
     max_new_points_per_level: tuple = (100, 100, 100, 100)
     # reject a new MKF if no level>=2 point could be triangulated against

@@ -62,6 +62,47 @@ def masked_median_bisect(x: jnp.ndarray, mask: jnp.ndarray,
     return jnp.where(ok, hi, jnp.zeros_like(hi))
 
 
+def masked_median_hist(x: jnp.ndarray, mask: jnp.ndarray,
+                       bins: int = 32, refine: int = 3) -> jnp.ndarray:
+    """Lower-median of x where mask by hierarchical histogram counting.
+
+    Three fused passes over x instead of masked_median_bisect's ~26
+    serial compare+count rounds: one min/max pass, then `refine` rounds
+    that each count x against `bins` edges at once ((bins, N) broadcast
+    compare + reduce = ONE memory pass, the VPU eats the extra compares)
+    and descend into the median's bin.  Precision range/bins^refine —
+    32^3 = 32768 subdivisions (chi2 ranges are outlier-stretched, so two
+    rounds can leave ~10% error), well under the sample noise of the
+    robust sigma it feeds (the MAD scale is a statistical estimate)."""
+    inf = jnp.asarray(jnp.inf, x.dtype)
+    lo = jnp.min(jnp.where(mask, x, inf), axis=-1)
+    hi = jnp.max(jnp.where(mask, x, -inf), axis=-1)
+    n = jnp.sum(mask, axis=-1)
+    ok = n > 0
+    lo = jnp.where(ok, lo, 0.0)
+    hi = jnp.where(ok, hi, 0.0)
+    half = (n + 1) // 2  # rank of the lower median
+
+    frac = jnp.arange(1, bins + 1, dtype=x.dtype) / bins      # (B,)
+    for _ in range(refine):
+        edges = lo[..., None] + (hi - lo)[..., None] * frac   # (..., B)
+        # rank of each edge: one pass over x, B accumulators
+        cnt = jnp.sum(
+            (x[..., None, :] <= edges[..., :, None]) & mask[..., None, :],
+            axis=-1,
+        )                                                      # (..., B)
+        reach = cnt >= half[..., None]
+        # first bin whose cumulative count reaches the median rank
+        first = jnp.argmax(reach, axis=-1)
+        found = jnp.any(reach, axis=-1)
+        first = jnp.where(found, first, bins - 1)
+        width = (hi - lo) / bins
+        new_lo = lo + first.astype(x.dtype) * width
+        hi = lo + (first + 1).astype(x.dtype) * width
+        lo = new_lo
+    return jnp.where(ok, hi, jnp.zeros_like(hi))
+
+
 def find_sigma_squared(err_sq: jnp.ndarray, mask: jnp.ndarray,
                        exact: bool = False) -> jnp.ndarray:
     """MAD-style sigma^2 from masked squared errors (MEstimator.h:109-123).

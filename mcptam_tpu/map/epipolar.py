@@ -125,8 +125,22 @@ def epipolar_match(ms: MapState, cams: CameraModel,
         ray_dir_p = ray_end_p - ray_start_p
         ray_dir_p = ray_dir_p / jnp.maximum(jnp.linalg.norm(ray_dir_p), 1e-9)
 
-        # NH static hypotheses along the arc (ref steps at one_pixel_angle *
-        # levelscale * 3; we spread the same span over a fixed count)
+        # source-pixel footprint rays (also used for the warp pixel
+        # vectors below)
+        right_nc = unproject(cam_s, root + jnp.stack([scale, jnp.zeros(())]))
+        down_nc = unproject(cam_s, root + jnp.stack([jnp.zeros(()), scale]))
+
+        # NH static hypotheses uniformly over the arc.  The reference
+        # steps at ~3 source pixels (dAngleStep = OnePixelAngle() *
+        # LevelScale * 3, src/MapMakerServerBase.cc:700-702), i.e. its
+        # count GROWS with arc length; with XLA's static shapes the
+        # equivalent is a hypothesis budget (mm_epi_max_hypotheses,
+        # default 64): arcs up to (NH-1) x 3px sample at >= reference
+        # density, longer arcs degrade to uniform spread — raise the
+        # budget for very wide-baseline rigs.  Short arcs sample DENSER
+        # than the reference (the spare budget is free coverage, not
+        # masked away: redistributing a fixed NH to a 3-px step and
+        # masking the tail measurably loses matches on short arcs).
         angles = (
             jnp.arange(NH, dtype=jnp.float32)
             / (NH - 1.0) * max_angle
@@ -142,8 +156,6 @@ def epipolar_match(ms: MapState, cams: CameraModel,
 
         # hypothesis pixel vectors (RefreshPixelVectors inline, with the
         # fronto-parallel normal (0,0,-1)): footprints in world frame
-        right_nc = unproject(cam_s, root + jnp.stack([scale, jnp.zeros(())]))
-        down_nc = unproject(cam_s, root + jnp.stack([jnp.zeros(()), scale]))
         p_sc = pose_s.apply(p_w)                            # (NH,3)
         cam_height = jnp.abs(p_sc[:, 2])
 
@@ -188,11 +200,29 @@ def epipolar_match(ms: MapState, cams: CameraModel,
         best = jnp.argmin(hyp_ssd)
         best_ssd = hyp_ssd[best]
         any_found = jnp.isfinite(best_ssd)
-        # ambiguity (ref :798-825): all matches within 10% of best must be
-        # within 1 hypothesis index of it, and at most 3 such
+        # ambiguity (ref :798-825): every match within 10% of the best
+        # must sit within one step of it, at most 3 close.  The
+        # reference's step is ~3 source-level px (dAngleStep =
+        # OnePixelAngle() * LevelScale * 3); ours is the NH-budget's
+        # uniform step.  The window takes the TIGHTER of the two: on
+        # short arcs (budget step < 3 px) that is exactly the historical
+        # +-1-index rule — measured to filter marginal matches this
+        # scene's tracker quality depends on — while on long arcs the
+        # reference's 3-px cap keeps a second corner farther along the
+        # arc from slipping inside a coarse +-1-index window.
+        # right_nc sits one LEVEL pixel (`scale` root px) from the root
+        # ray, so this angle already carries the LevelScale factor.
+        one_px_lvl_angle = jnp.arccos(jnp.clip(
+            jnp.dot(ray_sc, right_nc)
+            / jnp.maximum(jnp.linalg.norm(right_nc), 1e-12),
+            -1.0, 1.0,
+        ))
+        step = max_angle / (NH - 1.0)
+        window = jnp.minimum(step, 3.0 * one_px_lvl_angle)
         close = hyp_ok & (hyp_ssd <= best_ssd * 1.1 + 1e-6)
-        idx = jnp.arange(NH)
-        far_close = close & (jnp.abs(idx - best) > 1)
+        far_close = close & (
+            jnp.abs(angles - angles[best]) > window * (1.0 + 1e-5)
+        )
         unambiguous = (jnp.sum(far_close) == 0) & (jnp.sum(close) <= 3)
 
         # subpixel on the best match in the target keyframe

@@ -33,6 +33,10 @@ ACTION_OUTLIERS = 4
 ACTION_INIT = 5
 ACTION_RESET = 6
 ACTION_STATE = 7
+# client -> server operator-monitoring relay (tracker state + small image;
+# the reference server subscribes to the client's system_info/small_image
+# topics for the off-board operator, src/SystemServer.cc:113-136)
+ACTION_MONITOR = 8
 
 _DTYPES = [
     np.dtype(np.uint8), np.dtype(np.int32), np.dtype(np.int64),

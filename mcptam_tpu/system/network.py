@@ -39,7 +39,7 @@ from mcptam_tpu.native.build import load
 from mcptam_tpu.system.netcodec import (
     pack_arrays, unpack_arrays, JPEG_QUALITY,
     ACTION_ADD, ACTION_DELETE, ACTION_UPDATE, ACTION_OUTLIERS,
-    ACTION_INIT, ACTION_RESET, ACTION_STATE,
+    ACTION_INIT, ACTION_RESET, ACTION_STATE, ACTION_MONITOR,
 )
 
 _MAX_MSG = 512 * 1024 * 1024
@@ -320,6 +320,12 @@ class MapMakerClient:
         """Tracker-outlier deletions (ref HandleBadPoints -> SendDelete)."""
         self.channel.send(ACTION_DELETE, {"points": np.asarray(point_idx)})
 
+    def send_monitor(self, d: dict):
+        """Operator-monitoring relay: tracker pose/quality + small image
+        (the reference server mirrors the client's system_info and
+        small_image topics, src/SystemServer.cc:113-136)."""
+        self.channel.send(ACTION_MONITOR, d)
+
     def _apply_state(self, d):
         self.state = int(d["state"])
         self.init_point_cov = float(d["init_cov"])
@@ -391,6 +397,11 @@ class MapServer:
         self.ms = ms_template
         self.mapmaker = MapMaker(cams=cams, mcfg=mcfg or DEFAULT_MAPMAKER)
         self._dirty = False
+        # last operator-monitoring packet from the client (pose/quality/
+        # small image; ref SystemServer mirrors the client topics,
+        # src/SystemServer.cc:113-136)
+        self.client_monitor: dict | None = None
+        self.monitor_count = 0
 
     def _send_state(self):
         self.channel.send(ACTION_STATE, {
@@ -420,6 +431,9 @@ class MapServer:
                 points=pts.replace(bad=pts.bad.at[bad_idx].set(True))
             )
             self._dirty = True
+        elif action == ACTION_MONITOR:
+            self.client_monitor = d
+            self.monitor_count += 1
         elif action == ACTION_RESET:
             self.ms = self._fresh_map()
             self.mapmaker.reset(self.ms)

@@ -362,6 +362,98 @@ class System:
     def pose(self) -> SE3:
         return self.ts.pose
 
+    # -- staged profiling (TrackerTiming taxonomy) --------------------------
+    def profile_frame(self, images, cam_active=None) -> TrackerTiming:
+        """Process one frame with one device dispatch PER TRACKER STAGE,
+        filling the full TrackerTiming taxonomy the reference publishes
+        every frame (msg/TrackerTiming.msg, src/Tracker.cc:293-332):
+        sbi, motion, pvs, coarse, fine, pose, depth (scene depth + quality
+        + state update), add.  The fused production step cannot attribute
+        time to stages (it is one program); this mode trades throughput
+        for attribution.  Mutates tracker/map state exactly like
+        process_frame's device step (same stage functions, same order) but
+        skips the map-maker tick — pair with process_frame for end-to-end
+        numbers."""
+        from mcptam_tpu.tracker import tracker as T
+        if not hasattr(self, "_staged_fns"):
+            tcfg, cams, cams_sbi = self.tcfg, self.cams, self.cams_sbi
+            self._staged_fns = {
+                "sbi": jax.jit(lambda ts, feats, cfb, ca: T._stage_sbi(
+                    ts, feats, cams_sbi, cfb, tcfg, ca)),
+                "motion": jax.jit(T._stage_motion),
+                "pvs": jax.jit(lambda ms, pp, ca: T._stage_pvs(
+                    ms, cams, pp, ca)),
+                "coarse": jax.jit(lambda ms, feats, pvs, pp: T._stage_coarse(
+                    None, ms, cams, feats, pvs, pp, tcfg)),
+                "fine": jax.jit(lambda ms, feats, pvs, pac, dc: T._stage_fine(
+                    ms, cams, feats, pvs, pac, dc, tcfg)),
+                "pose": jax.jit(lambda ms, pac, fine: T._stage_pose(
+                    ms, cams, pac, fine, tcfg)),
+                "depth": jax.jit(
+                    lambda ts, ms, feats, pn, cov, fine, outl, rot, ca:
+                    T._stage_finalize(ts, ms, feats, pn, cov, fine, outl,
+                                      rot, tcfg, ca)),
+                "add": jax.jit(
+                    lambda ms, res: (
+                        apply_tracker_point_stats(
+                            ms, res, self.mcfg.min_outliers,
+                            self.mcfg.outlier_multiplier, enable=~res.lost,
+                        ),
+                        need_new_mkf(ms, res.pose,
+                                     jnp.mean(res.mean_depth), self.mcfg)[0],
+                    )),
+            }
+        fns = self._staged_fns
+        timing = TrackerTiming()
+        sw = Stopwatch()
+        images = jnp.asarray(images, jnp.float32)
+        cam_active = (
+            jnp.ones((self.n_cams,), bool) if cam_active is None
+            else jnp.asarray(cam_active, bool)
+        )
+        feats = jax.block_until_ready(self._feats_fn(images))
+        timing.kf_downsample = sw.lap()
+        sbi_rot, have_rot = jax.block_until_ready(
+            fns["sbi"](self.ts, feats, self.ms.cam_from_base, cam_active)
+        )
+        timing.sbi = sw.lap()
+        pose_pred = jax.block_until_ready(
+            fns["motion"](self.ts, sbi_rot, have_rot)
+        )
+        timing.motion = sw.lap()
+        pvs = jax.block_until_ready(
+            fns["pvs"](self.ms, pose_pred, cam_active)
+        )
+        timing.pvs = sw.lap()
+        pac, do_coarse = jax.block_until_ready(
+            fns["coarse"](self.ms, feats, pvs, pose_pred)
+        )
+        timing.coarse = sw.lap()
+        fine = jax.block_until_ready(
+            fns["fine"](self.ms, feats, pvs, pac, do_coarse)
+        )
+        timing.fine = sw.lap()
+        pose_new, cov, outlier = jax.block_until_ready(
+            fns["pose"](self.ms, pac, fine)
+        )
+        timing.pose = sw.lap()
+        self.ts, res = jax.block_until_ready(
+            fns["depth"](self.ts, self.ms, feats, pose_new, cov, fine,
+                         outlier, sbi_rot, cam_active)
+        )
+        timing.depth = sw.lap()
+        self.ms, _add = jax.block_until_ready(fns["add"](self.ms, res))
+        timing.add = sw.lap()
+        timing.total = (
+            timing.kf_downsample + timing.sbi + timing.motion + timing.pvs
+            + timing.coarse + timing.fine + timing.pose + timing.depth
+            + timing.add
+        )
+        self._prev_feats = feats
+        self._last_result = res
+        self.frame_count += 1
+        return timing
+
     # -- checkpoint / resume (the loader the reference lacks; SURVEY §5) ----
     def save(self, path: str):
         """Checkpoint the full session: map + tracker pose + scheduler

@@ -406,38 +406,45 @@ def robust_mean_depth(p_cam_z, mask):
 # The frame step
 # ---------------------------------------------------------------------------
 
-def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
-                cams_sbi: CameraModel, feats: FrameFeatures,
-                tcfg: TrackerConfig = DEFAULT_TRACKER, cam_active=None):
-    """One tracking step.  Returns (new TrackerState, TrackResult).
-
-    cam_active: optional (C,) bool — cameras absent from this frame (sensor
-    dropout) contribute no measurements, no rotation vote, and keep their
-    previous SBI; the reference tolerates arbitrary camera subsets per
-    frame structurally (src/Tracker.cc:286-316)."""
-    C = feats.atlas.shape[0]
-    N = ms.points.capacity
-    if cam_active is None:
-        cam_active = jnp.ones((C,), bool)
-
-    # ---- 1. motion model
+def _stage_sbi(ts: TrackerState, feats: FrameFeatures,
+               cams_sbi: CameraModel, cam_from_base: SE3,
+               tcfg: TrackerConfig, cam_active):
+    """Stage 1a (TrackerTiming.sbi): SBI ESM rotation estimate."""
     if getattr(tcfg, "use_sbi_rotation", True):
-        sbi_rot, have_rot = calc_sbi_rotation(
-            ts, feats, cams_sbi, ms.cam_from_base,
+        return calc_sbi_rotation(
+            ts, feats, cams_sbi, cam_from_base,
             use_pallas=getattr(tcfg, "use_pallas_esm", False),
             cam_active=cam_active,
         )
-    else:
-        sbi_rot, have_rot = jnp.zeros(3), jnp.zeros((), bool)
+    return jnp.zeros(3), jnp.zeros((), bool)
+
+
+def _stage_motion(ts: TrackerState, sbi_rot, have_rot) -> SE3:
+    """Stage 1b (TrackerTiming.motion): decayed constant-velocity motion
+    model with the rotation part replaced by the SBI estimate
+    (ApplyMotionModel, src/Tracker.cc:1516-1536)."""
     v6 = ts.vel
     v6 = jnp.where(have_rot, v6.at[3:].set(sbi_rot), v6)
-    pose_pred = SE3.exp(v6) @ ts.pose
+    return SE3.exp(v6) @ ts.pose
 
-    perm = _pair_perm(C, N)
 
-    # ---- 2+3. coarse stage (levels >= 2, 60 pts, 30 px)
+def _stage_pvs(ms: MapState, cams: CameraModel, pose_pred: SE3, cam_active):
+    """Stage 2 (TrackerTiming.pvs): potentially-visible-set over the
+    (camera x point) grid (FindPVS, src/Tracker.cc:663-723)."""
     pvs = compute_pvs(ms, cams, pose_pred)
     pvs["valid"] = pvs["valid"] & cam_active[:, None]
+    return pvs
+
+
+def _stage_coarse(ts_unused, ms: MapState, cams: CameraModel,
+                  feats: FrameFeatures, pvs, pose_pred: SE3,
+                  tcfg: TrackerConfig):
+    """Stage 3 (TrackerTiming.coarse): levels >= 2, 60 pts, 30 px search +
+    coarse GN solve (TestForCoarse, src/Tracker.cc:726-772).  Returns
+    (pose_after_coarse, do_coarse)."""
+    C = feats.atlas.shape[0]
+    N = ms.points.capacity
+    perm = _pair_perm(C, N)
     coarse_valid = pvs["valid"] & (pvs["level"] >= 2)
     c_idx, c_ok = _select_pairs(coarse_valid, perm, tcfg.coarse_max)
     c_cam = (c_idx // N).astype(jnp.int32)
@@ -463,12 +470,22 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
     pose_after_coarse = jax.tree_util.tree_map(
         lambda a, b: jnp.where(do_coarse, a, b), pose_c, pose_pred
     )
+    return pose_after_coarse, do_coarse
 
-    # ---- 4. fine stage.  The PVS (warp matrices, search levels, validity)
-    # is computed ONCE per frame from the predicted pose — as the reference
-    # does (FindPVS, src/Tracker.cc:663) — and only the predicted image
-    # positions of the SELECTED pairs are re-projected under the
-    # coarse-refined pose (TrackerData::Project re-runs per stage).
+
+def _stage_fine(ms: MapState, cams: CameraModel, feats: FrameFeatures,
+                pvs, pose_after_coarse: SE3, do_coarse,
+                tcfg: TrackerConfig):
+    """Stage 4 (TrackerTiming.fine): up to 1000 points searched at 10/5 px
+    + subpixel (src/Tracker.cc:841-905).  The PVS (warp matrices, search
+    levels, validity) is computed ONCE per frame from the predicted pose —
+    as the reference does (FindPVS, src/Tracker.cc:663) — and only the
+    predicted image positions of the SELECTED pairs are re-projected under
+    the coarse-refined pose (TrackerData::Project re-runs per stage).
+    Returns the fine-pair dict."""
+    C = feats.atlas.shape[0]
+    N = ms.points.capacity
+    perm = _pair_perm(C, N)
     f_idx, f_ok = _select_pairs(pvs["valid"], perm, tcfg.max_patches_per_frame)
     f_cam = (f_idx // N).astype(jnp.int32)
     f_pt = (f_idx % N).astype(jnp.int32)
@@ -487,14 +504,84 @@ def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
         tcfg.fine_range_first, fine_range, tcfg.fine_sub_pix_its,
         max_ssd=64 * tcfg.max_ssd_per_pixel,
     )
+    return {"cam": f_cam, "pt": f_pt, "lvl": f_lvl, "ok": f_ok,
+            "found": ff_found, "pos": ff_pos, "sub": ff_sub}
 
-    # ---- 5. pose solve
+
+def _stage_pose(ms: MapState, cams: CameraModel, pose_after_coarse: SE3,
+                fine, tcfg: TrackerConfig):
+    """Stage 5 (TrackerTiming.pose): Tukey-reweighted 6-DOF solve +
+    covariance (CalcPoseUpdate, src/Tracker.cc:1386-1511)."""
     pose_new, H, w_final, e_final = pose_solve(
-        pose_after_coarse, ms, cams, f_cam, f_pt, ff_found, ff_pos, f_lvl,
+        pose_after_coarse, ms, cams, fine["cam"], fine["pt"],
+        fine["found"], fine["pos"], fine["lvl"],
         tcfg.fine_iterations, tcfg.tracking_prior, tcfg.mest_sigma_min,
     )
     cov = jnp.linalg.pinv(H)
-    outlier = ff_found & (w_final <= 0.0)
+    outlier = fine["found"] & (w_final <= 0.0)
+    return pose_new, cov, outlier
+
+
+def track_frame(ts: TrackerState, ms: MapState, cams: CameraModel,
+                cams_sbi: CameraModel, feats: FrameFeatures,
+                tcfg: TrackerConfig = DEFAULT_TRACKER, cam_active=None):
+    """One tracking step.  Returns (new TrackerState, TrackResult).
+
+    Composed from the _stage_* functions above so a profiling harness can
+    dispatch (and time) each stage separately — the TrackerTiming taxonomy
+    the reference publishes per frame (src/Tracker.cc:293-332) — while the
+    production path fuses everything into one device program.
+
+    cam_active: optional (C,) bool — cameras absent from this frame (sensor
+    dropout) contribute no measurements, no rotation vote, and keep their
+    previous SBI; the reference tolerates arbitrary camera subsets per
+    frame structurally (src/Tracker.cc:286-316)."""
+    C = feats.atlas.shape[0]
+    if cam_active is None:
+        cam_active = jnp.ones((C,), bool)
+
+    # ---- 1. motion model
+    sbi_rot, have_rot = _stage_sbi(
+        ts, feats, cams_sbi, ms.cam_from_base, tcfg, cam_active
+    )
+    pose_pred = _stage_motion(ts, sbi_rot, have_rot)
+
+    # ---- 2+3. PVS + coarse stage
+    pvs = _stage_pvs(ms, cams, pose_pred, cam_active)
+    pose_after_coarse, do_coarse = _stage_coarse(
+        None, ms, cams, feats, pvs, pose_pred, tcfg
+    )
+
+    # ---- 4. fine stage
+    fine = _stage_fine(ms, cams, feats, pvs, pose_after_coarse, do_coarse,
+                       tcfg)
+    f_cam, f_pt, f_lvl, f_ok = (
+        fine["cam"], fine["pt"], fine["lvl"], fine["ok"]
+    )
+    ff_found, ff_pos, ff_sub = fine["found"], fine["pos"], fine["sub"]
+
+    # ---- 5. pose solve
+    pose_new, cov, outlier = _stage_pose(
+        ms, cams, pose_after_coarse, fine, tcfg
+    )
+
+    # ---- 6. scene depth + quality + state update
+    return _stage_finalize(ts, ms, feats, pose_new, cov, fine, outlier,
+                           sbi_rot, tcfg, cam_active)
+
+
+def _stage_finalize(ts: TrackerState, ms: MapState, feats: FrameFeatures,
+                    pose_new: SE3, cov, fine, outlier, sbi_rot,
+                    tcfg: TrackerConfig, cam_active):
+    """Stage 6 (TrackerTiming.depth): per-camera robust scene depth,
+    quality grading, lost counter, motion-model update
+    (src/Tracker.cc:1076-1151 depth; AssessTrackingQuality :1576-1658).
+    Returns (ts_new, TrackResult)."""
+    C = feats.atlas.shape[0]
+    f_cam, f_pt, f_lvl, f_ok = (
+        fine["cam"], fine["pt"], fine["lvl"], fine["ok"]
+    )
+    ff_found, ff_pos, ff_sub = fine["found"], fine["pos"], fine["sub"]
 
     # ---- scene depth per camera from found fine points
     cfb = ms.cam_from_base

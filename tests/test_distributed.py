@@ -78,6 +78,42 @@ def test_client_step_accepts_frame_budget():
         server_ch.close()
 
 
+def test_monitor_relay_fast():
+    """ACTION_MONITOR carries the client's pose/quality + small image to
+    the server store (ref SystemServer.cc:113-136) — fast tier: loopback
+    channel, no tracker, no mapmaker work."""
+    from mcptam_tpu.system.network import MapMakerClient
+    cams, cfb = make_rig(C, H, W, spread_deg=25.0)
+    server_ch = Channel.serve(0)
+    client_ch = Channel.connect("127.0.0.1", server_ch.port)
+    try:
+        ms = create_map_state(
+            H, W, C, cfb, max_points=64, max_mkfs=4, max_meas=256
+        )
+        server = MapServer(server_ch, cams, ms)
+        mm = MapMakerClient(client_ch, cams)
+        mm.send_monitor({
+            "pose": np.eye(3, 4, dtype=np.float32),
+            "quality": np.asarray(1, np.int32),
+            "lost": np.asarray(False),
+            "n_found": np.asarray(123, np.int32),
+            "small_image": np.full((6, 8, 3), 7, np.uint8),
+        })
+        for _ in range(200):
+            msg = server_ch.poll(timeout_ms=25)
+            if msg is not None:
+                server.handle_message(*msg)
+                break
+        assert server.monitor_count == 1
+        mon = server.client_monitor
+        assert int(mon["n_found"]) == 123
+        assert mon["small_image"].shape == (6, 8, 3)
+        assert not bool(np.asarray(mon["lost"]).reshape(()))
+    finally:
+        client_ch.close()
+        server_ch.close()
+
+
 @pytest.mark.slow
 def test_client_server_loop():
     cams, cfb = make_rig(C, H, W, spread_deg=25.0)
@@ -138,3 +174,9 @@ def test_client_server_loop():
     # the server integrated MKFs and built points
     assert int(jnp.sum(server.ms.mkfs.valid)) >= 2
     assert int(jnp.sum(server.ms.points.valid)) > 100
+    # operator-monitoring relay reached the server (ref SystemServer
+    # mirroring the client's system_info/small_image, SystemServer.cc:113-136)
+    assert server.monitor_count >= 1
+    mon = server.client_monitor
+    assert mon is not None and mon["small_image"].ndim == 3
+    assert mon["pose"].shape == (3, 4)

@@ -70,6 +70,48 @@ def test_epipolar_depths_near_truth(world, init_map):
     assert med_err < 0.25, (med_err, np.percentile(np.abs(radii - 6.0), [50, 90]))
 
 
+def test_epipolar_hypothesis_budget_recall(world, init_map):
+    """The static arc-hypothesis budget stands in for the reference's
+    arc-length-proportional stepping (dAngleStep = OnePixelAngle() *
+    LevelScale * 3, src/MapMakerServerBase.cc:700-702): NH=32 must
+    already recover nearly all the matches a 4x-denser NH=128 sweep
+    finds on this scene, and its triangulations must stay on the
+    ground-truth surface — the budget degrades recall gracefully, not
+    abruptly."""
+    from mcptam_tpu.map.epipolar import epipolar_match
+    from mcptam_tpu.map.mapmaker_core import _level_candidates
+    cams, cam_from_base, _ = world
+    ms = init_map
+    images = render_rig(cams, cam_from_base, SE3.identity(), SEED, H, W)
+    feats = make_frame_features(images)
+    level, c, tgt = 1, 0, 1
+    xy, want = _level_candidates(feats, c, level, 64)
+    Q = xy.shape[0]
+    args = dict(
+        src_mkf=jnp.zeros((Q,), jnp.int32),
+        src_cam=jnp.full((Q,), c, jnp.int32),
+        tgt_mkf=jnp.zeros((Q,), jnp.int32),
+        tgt_cam=jnp.full((Q,), tgt, jnp.int32),
+        level=jnp.full((Q,), level, jnp.int32),
+        xy_level=xy,
+        want=want,
+    )
+    ok32, pos32, _, _ = jax.jit(
+        lambda ms, cams: epipolar_match(ms, cams, **args, n_hypotheses=32)
+    )(ms, cams)
+    ok128, pos128, _, _ = jax.jit(
+        lambda ms, cams: epipolar_match(ms, cams, **args, n_hypotheses=128)
+    )(ms, cams)
+    n32 = int(jnp.sum(ok32))
+    n128 = int(jnp.sum(ok128))
+    assert n128 >= 5, n128
+    assert n32 >= 0.8 * n128, (n32, n128)
+    # common matches triangulate onto the radius-6 sphere
+    both = np.asarray(ok32 & ok128)
+    radii = np.linalg.norm(np.asarray(pos32)[both], axis=-1)
+    assert np.median(np.abs(radii - 6.0)) < 0.25
+
+
 def test_tracking_on_epipolar_map(world, init_map):
     cams, cam_from_base, cams_sbi = world
     ms = init_map

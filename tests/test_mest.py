@@ -56,3 +56,23 @@ def test_least_squares():
     e = jnp.asarray([1.0, 2.0])
     assert np.all(np.asarray(mest.weight(mest.LEAST_SQUARES, e, jnp.asarray(1.0))) == 1.0)
     assert np.allclose(mest.objective_score(mest.LEAST_SQUARES, e, jnp.asarray(1.0)), 0.5 * e)
+
+
+def test_masked_median_hist_matches_exact():
+    """Histogram median (the BA hot-path sigma estimator) tracks the exact
+    masked median within its documented range/32^3 resolution, even on
+    outlier-stretched chi2-like data, and returns 0 on an empty mask."""
+    rng = np.random.default_rng(1)
+    for n in (64, 4096, 32768):
+        x = jnp.asarray(rng.exponential(2.0, n) ** 2)
+        m = jnp.asarray(rng.uniform(0, 1, n) > 0.3)
+        vals = np.sort(np.asarray(x)[np.asarray(m)])
+        exact = float(vals[(len(vals) + 1) // 2 - 1])  # lower median
+        got = float(mest.masked_median_hist(x, m))
+        assert abs(got - exact) <= max(1e-2 * exact, 1e-6), (n, got, exact)
+    assert float(mest.masked_median_hist(x, jnp.zeros_like(m))) == 0.0
+    # constant data: lands exactly on the value
+    c = jnp.full((100,), 3.5)
+    assert np.isclose(
+        float(mest.masked_median_hist(c, jnp.ones(100, bool))), 3.5
+    )

