@@ -15,9 +15,11 @@ test-all:
 	$(PYTEST) tests/ -q
 
 # CI-style timed run: prints per-module durations so regressions in suite
-# wall time are visible (budget: default tier < 5 min warm-cache CPU)
+# wall time are visible (budget: default tier < 5 min warm-cache CPU).
+# pytest's summary line carries the total wall time; --durations names
+# the offenders.  (`time` is not a dash builtin, so don't rely on it.)
 test-timed:
-	time $(PYTEST) tests/ -q -m "not slow" --durations=25
+	$(PYTEST) tests/ -q -m "not slow" --durations=25
 
 bench:
 	python bench.py

@@ -135,11 +135,17 @@ def _lm_step(p9, eps, lam, R0, t0, board3, uv, mask):
 
 
 def _cost_at(p9, eps, R0, t0, board3, uv, mask):
-    r, _ = jax.vmap(
+    """(cost, active measurement count) at the given parameters.
+
+    The count guards the LM accept test: a trial step must not "improve"
+    the cost by making projection Newton fail on measurements (w -> 0
+    removes their residuals), so steps that shrink the active set are
+    rejected by the caller rather than compared on cost alone."""
+    r, w = jax.vmap(
         lambda e_v, R_v, t_v, b_v, u_v, m_v:
             _residual_view(p9, e_v, R_v, t_v, b_v, u_v, m_v)
     )(eps, R0, t0, board3, uv, mask)
-    return jnp.sum(r * r)
+    return jnp.sum(r * r), jnp.sum(w)
 
 
 def refine_lm_tpu(params9, poses, grids_uv, grids_board, image_size,
@@ -170,7 +176,8 @@ def refine_lm_tpu(params9, poses, grids_uv, grids_board, image_size,
 
     lam = 1e-3
     n_meas = float(2 * mask.sum())
-    cost = float(cost_f(p9, eps, R0, t0, board3, uv, mask))
+    c0, n0 = cost_f(p9, eps, R0, t0, board3, uv, mask)
+    cost, n_active = float(c0), float(n0)
     for it in range(n_iters):
         accepted = False
         for _ in range(6):
@@ -178,9 +185,12 @@ def refine_lm_tpu(params9, poses, grids_uv, grids_board, image_size,
                              R0, t0, board3, uv, mask)
             p9_n = p9 + dc
             eps_n = eps + dp
-            c_new = float(cost_f(p9_n, eps_n, R0, t0, board3, uv, mask))
-            if np.isfinite(c_new) and c_new < cost:
-                p9, eps, cost = p9_n, eps_n, c_new
+            c_t, n_t = cost_f(p9_n, eps_n, R0, t0, board3, uv, mask)
+            c_new, n_new = float(c_t), float(n_t)
+            # reject steps that drop measurements from the active set —
+            # losing residuals is not an improvement (advisor r2 finding)
+            if np.isfinite(c_new) and c_new < cost and n_new >= n_active:
+                p9, eps, cost, n_active = p9_n, eps_n, c_new, n_new
                 lam = max(lam * 0.3, 1e-9)
                 accepted = True
                 break
