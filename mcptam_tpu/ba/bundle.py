@@ -753,17 +753,22 @@ def lm_step(prob: BundleProblem, st: LMState, cams: CameraModel,
 
 def create_lm_state(prob: BundleProblem,
                     bcfg: BundleConfig = DEFAULT_BUNDLE) -> LMState:
+    # NOTE: scalars must be STRONG-typed (explicit dtype).  Weak-typed
+    # scalars (jnp.asarray of a python float) give the fresh state a
+    # different abstract signature than the state lm_step returns, so a
+    # jitted lm_run recompiles on its second call — the round-2 benchmark
+    # measured XLA compile time (2 LM iters/s) instead of LM speed.
     return LMState(
         pose_a=prob.pose_a,
         pose_b=prob.pose_b,
         points=prob.points,
-        lam=jnp.asarray(bcfg.lambda_init),
-        cost=jnp.asarray(jnp.inf),
-        sigma_sq=jnp.asarray(1.0),
+        lam=jnp.asarray(bcfg.lambda_init, dtype=jnp.float32),
+        cost=jnp.asarray(jnp.inf, dtype=jnp.float32),
+        sigma_sq=jnp.asarray(1.0, dtype=jnp.float32),
         converged=jnp.zeros((), bool),
         accepted=jnp.zeros((), jnp.int32),
         iterations=jnp.zeros((), jnp.int32),
-        max_update=jnp.asarray(jnp.inf),
+        max_update=jnp.asarray(jnp.inf, dtype=jnp.float32),
     )
 
 
