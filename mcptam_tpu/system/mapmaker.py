@@ -78,27 +78,76 @@ class MapMaker:
             lambda prob, st, n=BA_CHUNK: lm_run(prob, st, self.cams, n, self.bcfg)
         )
         self._integrate_cache = {}
-
-    def _sized_table(self, prob):
-        """Attach the grouped observation table with D sized from the
-        data: the largest per-point measurement count, bucketed (static
-        shapes), floored at the configured obs_cap and hard-capped at 64.
-        A drop (max count beyond the cap) is logged instead of silently
-        biasing the Hessian (round-2 ADVICE #2)."""
-        import logging
+        # Every scheduler action is ONE jitted device program.  Eager
+        # (op-by-op) execution of the problem builders / writeback / GC
+        # paths costs one backend round-trip per primitive — on the TPU
+        # tunnel that is milliseconds each and a fresh tiny-program
+        # compile the first time, which is what made a map-maker tick
+        # take seconds while the LM chunk itself was milliseconds.
+        bcfg = self.bcfg
+        cams = self.cams
         from mcptam_tpu.ba.bundle import max_obs_per_point
-        dmax = int(jax.device_get(max_obs_per_point(prob)))
+        from mcptam_tpu.map.state import count_mkfs, count_points
+        self._local_prob_fn = jax.jit(
+            lambda ms: attach_obs_table(
+                compact_problem(problem_recent(ms, bcfg.recent_num)),
+                min(bcfg.obs_cap, 64),
+            )
+        )
+        def _global_counts(ms):
+            prob = problem_all(ms)
+            n_pt, n_m = problem_live_counts(prob)
+            return n_pt, n_m, max_obs_per_point(prob)
+        self._global_counts_fn = jax.jit(_global_counts)
+        self._global_prob_cache = {}
+        def _finish(ms, prob, st):
+            ms = writeback(ms, prob, st)
+            outliers = tukey_outlier_pass(prob, st, cams)
+            return apply_outliers(
+                ms, expand_outliers(prob, outliers, ms.meas.capacity)
+            )
+        self._finish_fn = jax.jit(_finish)          # retraces per shape
+        self._partial_wb_fn = jax.jit(writeback)
+        self._gc_fn = jax.jit(move_bad_points_to_trash)
+        self._any_retry_fn = jax.jit(lambda ms: jnp.any(ms.retry_queue))
+        self._count_mkfs_fn = jax.jit(count_mkfs)
+        self._count_points_fn = jax.jit(count_points)
+        self._refind_fn = jax.jit(
+            lambda ms: refind_in_keyframes(ms, cams)
+        )
+        self._refind_retry_fn = jax.jit(
+            lambda ms: refind_in_keyframes(ms, cams, pair_mask=ms.retry_queue)
+        )
+        self._depth_cov_fn = jax.jit(
+            lambda prob, st: point_depth_covariance(prob, st, cams)[0]
+        )
+        self._init_cache = {}
+
+    def _global_problem(self, ms):
+        """Build the compacted global problem in one dispatch: fetch the
+        live sizes (one sync), pick static buckets, run the cached jitted
+        builder for that shape.  D is sized from the data — the largest
+        per-point measurement count, bucketed, floored at the configured
+        obs_cap and hard-capped at 64 (round-2 ADVICE #2); a drop beyond
+        the cap is logged at the BA-finish sync point."""
+        n_pt, n_m, dmax = (
+            int(x) for x in jax.device_get(self._global_counts_fn(ms))
+        )
+        mp = min(_bucket(n_pt, (512, 1024, 2048)), ms.points.capacity)
+        mm = min(_bucket(n_m, (4096, 8192, 16384)), ms.meas.capacity)
         D = _bucket(max(dmax, 1), (8, 16, 24, 32, 48, 64))
         D = max(min(D, 64), min(self.bcfg.obs_cap, 64))
-        prob = attach_obs_table(prob, D)
-        if dmax > D:
-            n_drop = int(jax.device_get(prob.obs_dropped))
-            logging.getLogger(__name__).warning(
-                "obs table capacity %d < max per-point count %d: "
-                "%d measurements dropped from the normal equations",
-                D, dmax, n_drop,
+        key = (mp, mm, D)
+        fn = self._global_prob_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda ms, mp=mp, mm=mm, D=D: attach_obs_table(
+                    compact_problem(problem_all(ms),
+                                    max_points=mp, max_meas=mm), D
+                )
             )
-        return prob
+            self._global_prob_cache[key] = fn
+        return fn(ms)
 
     def _integrate(self, ms, feats, pose, result, cam_active):
         """Jitted MKF integration (one device program instead of eager
@@ -136,9 +185,17 @@ class MapMaker:
         map left untouched, ok=False — when fewer than
         mcfg.min_map_points points could be triangulated; the caller
         retries on a later frame."""
-        from mcptam_tpu.map.state import count_points
-        ms2, _ = init_from_mkf(ms, self.cams, feats, pose, self.mcfg)
-        n = int(jax.device_get(count_points(ms2)))
+        fn = self._init_cache.get(self.mcfg)
+        if fn is None:
+            mcfg = self.mcfg
+            fn = jax.jit(
+                lambda ms, feats, pose: init_from_mkf(
+                    ms, self.cams, feats, pose, mcfg
+                )[0]
+            )
+            self._init_cache[mcfg] = fn
+        ms2 = fn(ms, feats, pose)
+        n = int(jax.device_get(self._count_points_fn(ms2)))
         if n < self.mcfg.min_map_points:
             return ms, False
         self.state = MM_INITIALIZING
@@ -198,7 +255,7 @@ class MapMaker:
                     and int(self._ba_state.accepted) > 0:
                 # apply whatever the aborted BA achieved (the reference's
                 # two-step AdjustAndUpdate applies partial progress too)
-                ms = writeback(ms, self._ba_prob, self._ba_state)
+                ms = self._partial_wb_fn(ms, self._ba_prob, self._ba_state)
             self._reset_ba()
             feats, pose, result, cam_active = self.queue.pop(0)
             C = ms.cam_from_base.t.shape[0]
@@ -211,9 +268,9 @@ class MapMaker:
             # or a full MKF store) is simply dropped, like the reference
             # deleting the MKF when AddMultiKeyFrameAndCreatePoints
             # returns false
-            accepted = bool(jax.device_get(slot_ok)) and (
-                not self.mcfg.large_point_test
-                or int(jax.device_get(n_large)) > 0
+            slot_ok_h, n_large_h = jax.device_get((slot_ok, n_large))
+            accepted = bool(slot_ok_h) and (
+                not self.mcfg.large_point_test or int(n_large_h) > 0
             )
             if accepted:
                 ms = ms_new
@@ -229,8 +286,7 @@ class MapMaker:
                 # local BA only once the map is big enough
                 # (snRecentMinSize, ref src/BundleAdjusterBase.cc:195-200:
                 # below it, mark local converged and fall through to global)
-                from mcptam_tpu.map.state import count_mkfs
-                if int(jax.device_get(count_mkfs(ms))) \
+                if int(jax.device_get(self._count_mkfs_fn(ms))) \
                         < self.bcfg.recent_min_size:
                     self._local_done = True
                     return self._tick(ms)
@@ -243,26 +299,13 @@ class MapMaker:
                 # anchor MKFs included) loses the excess from the normal
                 # equations — obs_dropped is checked and logged when the
                 # run completes, at an existing sync point.
-                self._ba_prob = attach_obs_table(
-                    compact_problem(problem_recent(ms, self.bcfg.recent_num)),
-                    self.bcfg.obs_cap,
-                )
+                self._ba_prob = self._local_prob_fn(ms)
             elif not self._global_done:
                 self._ba_kind = "global"
                 # compact the global problem to the live point/measurement
                 # counts (bucketed so shapes stay static per bucket): a
                 # half-full map must not pay full-capacity LM iterations
-                prob = problem_all(ms)
-                n_pt, n_m = (int(x) for x in jax.device_get(
-                    problem_live_counts(prob)
-                ))
-                L_cap = prob.points.shape[0]
-                K_cap = prob.m_valid.shape[0]
-                self._ba_prob = self._sized_table(compact_problem(
-                    prob,
-                    max_points=min(_bucket(n_pt, (512, 1024, 2048)), L_cap),
-                    max_meas=min(_bucket(n_m, (4096, 8192, 16384)), K_cap),
-                ))
+                self._ba_prob = self._global_problem(ms)
             else:
                 # idle: trash GC + periodic refinds.  The failure queue
                 # (outlier pairs awaiting a second chance) is retried as a
@@ -271,17 +314,15 @@ class MapMaker:
                 # (ReFindNewlyMade analogue) runs on the other half of the
                 # schedule.  Pairs that fail either pass become
                 # never-retry inside refind_in_keyframes.
-                ms = move_bad_points_to_trash(ms)
+                ms = self._gc_fn(ms)
                 self._idle_ticks += 1
                 n_refound = 0
                 if self._idle_ticks % 20 == 10:
-                    ms, n_refound = refind_in_keyframes(ms, self.cams)
+                    ms, n_refound = self._refind_fn(ms)
                 elif self._idle_ticks % 20 == 0 and bool(
-                    jax.device_get(jnp.any(ms.retry_queue))
+                    jax.device_get(self._any_retry_fn(ms))
                 ):
-                    ms, n_refound = refind_in_keyframes(
-                        ms, self.cams, pair_mask=ms.retry_queue
-                    )
+                    ms, n_refound = self._refind_retry_fn(ms)
                 if int(n_refound) > 0:
                     # new measurements -> re-run BA
                     self._local_done = False
@@ -306,8 +347,10 @@ class MapMaker:
         exhausted = self._ba_steps >= self.bcfg.max_iterations
 
         if converged or exhausted:
-            accepted = int(self._ba_state.accepted)
-            n_drop = int(jax.device_get(self._ba_prob.obs_dropped))
+            accepted, total_iters, n_drop = (int(x) for x in jax.device_get((
+                self._ba_state.accepted, self._ba_state.iterations,
+                self._ba_prob.obs_dropped,
+            )))
             if n_drop > 0:
                 import logging
                 logging.getLogger(__name__).warning(
@@ -316,20 +359,14 @@ class MapMaker:
                     self._ba_kind, n_drop,
                 )
             if accepted > 0:
-                ms = writeback(ms, self._ba_prob, self._ba_state)
-                outliers = tukey_outlier_pass(
-                    self._ba_prob, self._ba_state, self.cams
-                )
-                ms = apply_outliers(ms, expand_outliers(
-                    self._ba_prob, outliers, ms.meas.capacity
-                ))
+                ms = self._finish_fn(ms, self._ba_prob, self._ba_state)
                 self.failed_ba_count = 0
             else:
                 self.failed_ba_count += 1
             self.last_timing = MapMakerTiming(
                 elapsed=time.perf_counter() - t0,
                 accepted_iterations=accepted,
-                total_iterations=int(self._ba_state.iterations),
+                total_iterations=total_iters,
                 kind=self._ba_kind,
             )
             if self._ba_kind == "local":
@@ -339,9 +376,7 @@ class MapMaker:
                 # init gate (ref src/MapMaker.cc:288-295): median point
                 # depth covariance below threshold -> RUNNING
                 if self.state == MM_INITIALIZING:
-                    med, _ = point_depth_covariance(
-                        self._ba_prob, self._ba_state, self.cams
-                    )
+                    med = self._depth_cov_fn(self._ba_prob, self._ba_state)
                     self.init_point_cov = float(med)
                     if self.init_point_cov < self.mcfg.init_cov_thresh:
                         self.state = MM_RUNNING
