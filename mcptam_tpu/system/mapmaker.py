@@ -133,8 +133,19 @@ class MapMaker:
         n_pt, n_m, dmax = (
             int(x) for x in jax.device_get(self._global_counts_fn(ms))
         )
-        mp = min(_bucket(n_pt, (512, 1024, 2048)), ms.points.capacity)
-        mm = min(_bucket(n_m, (4096, 8192, 16384)), ms.meas.capacity)
+        # bucket ladders must reach map capacity: a bucket that tops out
+        # below the live count would silently drop points/measurements
+        # from global BA (they'd never be optimized or Tukey-flagged)
+        mp = min(_bucket(n_pt, (512, 1024, 2048, 4096)), ms.points.capacity)
+        mm = min(_bucket(n_m, (4096, 8192, 16384, 32768)), ms.meas.capacity)
+        if n_pt > mp or n_m > mm:
+            import logging
+            logging.getLogger(__name__).warning(
+                "global BA compaction clipped the problem: %d live points "
+                "-> %d slots, %d live measurements -> %d slots (map "
+                "capacity %d/%d exceeds the bucket ladder)",
+                n_pt, mp, n_m, mm, ms.points.capacity, ms.meas.capacity,
+            )
         D = _bucket(max(dmax, 1), (8, 16, 24, 32, 48, 64))
         D = max(min(D, 64), min(self.bcfg.obs_cap, 64))
         key = (mp, mm, D)

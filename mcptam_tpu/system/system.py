@@ -293,9 +293,14 @@ class System:
         # ManualAddMKF request persists until an MKF is actually added
         # (ref mbAddNext, src/Tracker.cc:470-487).
         force_add = self._force_add_next and not lost
+        # the reference rejects adds only when the map-maker queue holds
+        # MORE than 2 MKFs (MapMakerClientBase::NeedNewMultiKeyFrame,
+        # src/MapMakerClientBase.cc:113); with 1-2 queued, the add decision
+        # stands but the heuristic has measured distance to the queued
+        # poses too (queue_dist in _device_step)
         if (
             (self.vars["AddingMKFs"] and add_flag or force_add)
-            and self.mapmaker.queue_size() == 0
+            and self.mapmaker.queue_size() <= 2
         ):
             self._force_add_next = False
             # temporal candidate stability pruning before the frame

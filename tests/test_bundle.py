@@ -332,6 +332,52 @@ def test_grouped_layout_matches_scatter(rng):
     )
 
 
+def test_soa_movable_b_matches_scatter_solve(rng):
+    """The SoA pose-b cross-block (Hab) and Mb assembly — exercised in
+    production by the calib BA (pose_calib.py attaches an obs table with
+    movable cam-from-base poses) — must reproduce the scatter path's GN
+    solve.  Asserted at the single-solve level (delta_a/delta_b/delta_pt)
+    plus end-state cost: the calib problem's near-scale-gauge conditioning
+    amplifies f32 assembly noise over an LM *trajectory*, so bitwise
+    trajectory equality is not a valid oracle here (verified: Jacobians
+    and one-step deltas agree to f32 eps; trajectories drift ~1e-2)."""
+    from mcptam_tpu.ba.bundle import (
+        attach_obs_table, _residuals_and_jacobians, _robust,
+        _solve_delta, _solve_delta_soa, _soa_prep,
+    )
+    from mcptam_tpu.config import DEFAULT_BUNDLE
+
+    prob, cams, _, _, _ = build_problem(
+        rng, n_poses=4, n_points=96, n_cams=2, noise_px=0.3, movable_b=True
+    )
+    mv = np.asarray(prob.m_valid).copy()
+    mv[rng.choice(len(mv), len(mv) // 5, replace=False)] = False
+    prob = prob.replace(m_valid=jnp.asarray(mv))
+    g = attach_obs_table(prob, D=4 * 2 + 2)
+
+    st = create_lm_state(prob)
+    e, Ja, Jb, Jl, ok = _residuals_and_jacobians(
+        prob, st.pose_a, st.pose_b, st.points, cams
+    )
+    w, _, _ = _robust(e, ok, DEFAULT_BUNDLE)
+    da1, db1, dl1 = _solve_delta(prob, e, Ja, Jb, Jl, w, st.lam)
+    da2, db2, dl2 = _solve_delta_soa(
+        g, _soa_prep(g), st.pose_a, st.pose_b, st.points, cams, w, st.lam
+    )
+    np.testing.assert_allclose(np.asarray(da2), np.asarray(da1),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(db2), np.asarray(db1),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dl2), np.asarray(dl1),
+                               rtol=2e-3, atol=1e-3)
+
+    # both engines settle at the same optimum cost
+    st_flat = lm_run(prob, create_lm_state(prob), cams, 12)
+    st_grp = lm_run(g, create_lm_state(g), cams, 12)
+    assert abs(rms_reproj(prob, st_grp, cams)
+               - rms_reproj(prob, st_flat, cams)) < 2e-3
+
+
 def test_obs_table_overflow_keeps_capacity(rng):
     """A point with more valid measurements than D keeps exactly D in the
     table; the table never indexes an invalid measurement."""
