@@ -757,18 +757,20 @@ def create_lm_state(prob: BundleProblem,
     # scalars (jnp.asarray of a python float) give the fresh state a
     # different abstract signature than the state lm_step returns, so a
     # jitted lm_run recompiles on its second call — the round-2 benchmark
-    # measured XLA compile time (2 LM iters/s) instead of LM speed.
+    # measured XLA compile time (2 LM iters/s) instead of LM speed.  The
+    # dtype follows the problem data so the f64 oracle path stays f64.
+    dt = prob.points.dtype
     return LMState(
         pose_a=prob.pose_a,
         pose_b=prob.pose_b,
         points=prob.points,
-        lam=jnp.asarray(bcfg.lambda_init, dtype=jnp.float32),
-        cost=jnp.asarray(jnp.inf, dtype=jnp.float32),
-        sigma_sq=jnp.asarray(1.0, dtype=jnp.float32),
+        lam=jnp.asarray(bcfg.lambda_init, dtype=dt),
+        cost=jnp.asarray(jnp.inf, dtype=dt),
+        sigma_sq=jnp.asarray(1.0, dtype=dt),
         converged=jnp.zeros((), bool),
         accepted=jnp.zeros((), jnp.int32),
         iterations=jnp.zeros((), jnp.int32),
-        max_update=jnp.asarray(jnp.inf, dtype=jnp.float32),
+        max_update=jnp.asarray(jnp.inf, dtype=dt),
     )
 
 

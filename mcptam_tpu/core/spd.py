@@ -128,7 +128,10 @@ def spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     platforms (CPU test mesh) use the stock solver, which is fast there."""
     vec = b.ndim == 1
     B = b[:, None] if vec else b
-    if jax.default_backend() not in ("cpu",):
+    dd = jax.config.jax_default_device
+    on_cpu = (dd.platform == "cpu") if dd is not None \
+        else jax.default_backend() == "cpu"
+    if not on_cpu:
         X = _spd_solve_pallas(A, B)
     else:
         X = jnp.linalg.solve(A, B)

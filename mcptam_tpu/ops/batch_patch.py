@@ -43,6 +43,9 @@ def _use_pallas() -> bool:
     import os
     if os.environ.get("MCPTAM_NO_PALLAS"):
         return False
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform == "tpu"
     return jax.default_backend() == "tpu"
 
 

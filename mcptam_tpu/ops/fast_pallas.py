@@ -200,8 +200,15 @@ def fast_frontend_reference(img: jnp.ndarray):
 
 
 def fast_frontend_auto(img: jnp.ndarray):
-    """Kernel on TPU, reference elsewhere (tests run on a CPU mesh)."""
+    """Kernel on TPU, reference elsewhere (tests run on a CPU mesh).
+
+    Honors ``jax.default_device`` so host-side scene/data construction
+    under ``with jax.default_device(cpu)`` on a TPU-backed process picks
+    the reference path (Pallas compiled mode is TPU-only)."""
     import os
-    if jax.default_backend() == "tpu" and not os.environ.get("MCPTAM_NO_PALLAS"):
+    dd = jax.config.jax_default_device
+    on_tpu = (dd.platform == "tpu") if dd is not None \
+        else jax.default_backend() == "tpu"
+    if on_tpu and not os.environ.get("MCPTAM_NO_PALLAS"):
         return fast_frontend(img)
     return fast_frontend_reference(img)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -62,12 +63,17 @@ class MapMaker:
     queue: list = field(default_factory=list)   # pending (feats, pose, result)
     failed_ba_count: int = 0
     last_timing: MapMakerTiming = field(default_factory=MapMakerTiming)
+    # LM steps per scheduler tick: the preemption/interleave granularity.
+    # Small chunks spread BA device time thinly across tracked frames
+    # (higher FPS while BA converges); big chunks amortize tick overhead.
+    ba_chunk: int = BA_CHUNK
 
     # in-flight BA
     _ba_kind: str = "none"       # none | local | global
     _ba_prob: object = None
     _ba_state: object = None
     _ba_steps: int = 0
+    _conv_pending: list = field(default_factory=list)
     _local_done: bool = False    # local BA converged since last MKF
     _global_done: bool = False
     _idle_ticks: int = 0
@@ -75,7 +81,9 @@ class MapMaker:
 
     def __post_init__(self):
         self._lm_run = jax.jit(
-            lambda prob, st, n=BA_CHUNK: lm_run(prob, st, self.cams, n, self.bcfg)
+            lambda prob, st, n=self.ba_chunk: lm_run(
+                prob, st, self.cams, n, self.bcfg
+            )
         )
         self._integrate_cache = {}
         # Every scheduler action is ONE jitted device program.  Eager
@@ -236,6 +244,7 @@ class MapMaker:
         self._ba_steps = 0
         self._local_done = False
         self._global_done = False
+        self._conv_pending = []
 
     def step(self, ms: MapState, budget_s: float | None = None) -> MapState:
         """Scheduler ticks: the reference's priority loop body
@@ -342,19 +351,23 @@ class MapMaker:
             self._ba_state = create_lm_state(self._ba_prob, self.bcfg)
             self._ba_steps = 0
 
-        # pipelined convergence: dispatch this chunk, then read the
-        # PREVIOUS chunk's flag — that fetch only waits for work already
-        # on the device, so host bookkeeping overlaps the running chunk
-        # (the reference's free-running map-maker thread never blocks the
-        # tracker either, src/MapMaker.cc:131-133).  Costs at most one
-        # extra chunk of frozen (converged) iterations per BA run, and
-        # bounds in-flight work to one chunk.
-        prev = self._ba_state
+        # pipelined convergence: dispatch this chunk and read the flag of
+        # the chunk dispatched TWO ticks ago — its compute finished during
+        # the previous tick's device work and its device->host transfer
+        # (started asynchronously at dispatch) has already landed, so the
+        # read never blocks on the device or the tunnel (the reference's
+        # free-running map-maker thread never blocks the tracker either,
+        # src/MapMaker.cc:131-133).  Costs at most two extra chunks of
+        # frozen (converged) iterations per BA run.
         self._ba_state = self._lm_run(self._ba_prob, self._ba_state)
-        self._ba_steps += BA_CHUNK
-        converged = self._ba_steps > BA_CHUNK and bool(
-            jax.device_get(prev.converged)
-        )
+        # start the convergence flag's device->host transfer now; the
+        # fetch two ticks later is then a local read, not a round-trip
+        self._ba_state.converged.copy_to_host_async()
+        self._conv_pending.append(self._ba_state.converged)
+        self._ba_steps += self.ba_chunk
+        converged = False
+        if len(self._conv_pending) > 2:
+            converged = bool(np.asarray(self._conv_pending.pop(0)))
         exhausted = self._ba_steps >= self.bcfg.max_iterations
 
         if converged or exhausted:
@@ -394,6 +407,7 @@ class MapMaker:
             self._ba_kind = "none"
             self._ba_prob = None
             self._ba_state = None
+            self._conv_pending = []
         return ms
 
     def stop_init(self):

@@ -66,6 +66,10 @@ class FrameInfo:
     mm_state: int
     timing: TrackerTiming
     added_mkf: bool
+    frame_id: int = -1        # which frame this info describes (lags the
+                              # latest dispatched frame by pipeline_depth)
+    provisional: bool = False  # pipeline still priming: this frame will be
+                               # published again when its slot drains
 
 
 class System:
@@ -76,7 +80,8 @@ class System:
                  tcfg: TrackerConfig = DEFAULT_TRACKER,
                  mcfg: MapMakerConfig = DEFAULT_MAPMAKER,
                  max_points: int = MAX_POINTS, max_mkfs: int = MAX_MKFS,
-                 max_meas: int = MAX_MEAS, mapmaker=None, masks=None):
+                 max_meas: int = MAX_MEAS, mapmaker=None, masks=None,
+                 pipeline_depth: int = 0):
         self.cams = cams
         self.cam_from_base = cam_from_base
         self.cams_sbi = cams_sbi
@@ -114,8 +119,13 @@ class System:
         self._build_feats_fn()
         # one fused device step per frame: track + point stats + add-MKF
         # heuristic — a single dispatch and a single host sync per frame
-        # instead of one per stage (the tunnel round-trip is the cost)
-        self._step_fn = jax.jit(self._device_step)
+        # instead of one per stage (the tunnel round-trip is the cost).
+        # ts/ms are DONATED: the step's carried state aliases in place, so
+        # the untouched bulk of MapState (keyframe image atlases, ~100 MB
+        # at capacity) is neither copied on device nor re-registered with
+        # the runtime every frame.  (On CPU donation is ignored — tests
+        # keep value semantics.)
+        self._step_fn = jax.jit(self._device_step, donate_argnums=(0, 1))
         # static-capacity queued-MKF pose slots for the add heuristic;
         # the all-empty constant is cached so the common (empty-queue)
         # frame uploads nothing
@@ -130,6 +140,19 @@ class System:
         from mcptam_tpu.ops.minipatch import filter_frame_candidates
         self._cand_filter_fn = jax.jit(filter_frame_candidates)
         self._prev_feats = None
+        # pipelined publish: keep up to pipeline_depth frames in flight so
+        # the per-frame scalar fetch (one tunnel round-trip on a remote
+        # TPU, ~25 ms) overlaps later frames' dispatch instead of blocking
+        # each frame.  Control actions (reloc, add-MKF, resets) run when a
+        # frame DRAINS, i.e. pipeline_depth frames late — the same kind of
+        # bounded lag the reference tolerates from its asynchronous
+        # map-maker thread.  Depth 0 = fully synchronous (default).
+        self.pipeline_depth = int(pipeline_depth)
+        from collections import deque
+        self._inflight = deque()
+        # batched-throughput mode (process_frames): jitted scan-over-frames
+        # programs keyed by (batch size, glare flag)
+        self._batch_fns = {}
         self._reloc_fn = jax.jit(
             lambda ms, feats, cam_active: attempt_recovery(
                 ms, self.cams_sbi, feats, cam_active=cam_active
@@ -163,9 +186,18 @@ class System:
         add, _ = need_new_mkf(ms2, res.pose, mean_depth, self.mcfg,
                               queue_dist=queue_dist)
         add = add & (res.quality == QUALITY_GOOD) & ~res.lost
-        scalars = (res.lost, res.quality, add, res.tot_found,
-                   count_points(ms2), count_mkfs(ms2),
-                   res.pose.R, res.pose.t, res.cov)
+        # ONE packed f32 vector: fetching a tuple of small arrays costs one
+        # tunnel round-trip PER ARRAY on a remote TPU (measured ~0.5 s each
+        # on the axon tunnel); one 54-float array is a single transfer
+        f32 = jnp.float32
+        scalars = jnp.concatenate([
+            jnp.stack([
+                res.lost.astype(f32), res.quality.astype(f32),
+                add.astype(f32), res.tot_found.astype(f32),
+                count_points(ms2).astype(f32), count_mkfs(ms2).astype(f32),
+            ]),
+            res.pose.R.reshape(-1), res.pose.t, res.cov.reshape(-1),
+        ])
         return ts2, ms2, res, scalars
 
     def _build_feats_fn(self):
@@ -224,6 +256,7 @@ class System:
         self.ts = self.ts.replace(pose=pose)
         self.mapmaker.reset(self.ms)
         self.initialized = False
+        self._inflight.clear()
 
     def process_frame(self, images, cam_active=None) -> FrameInfo:
         """images: (C,H,W) array-like uint8/float.
@@ -241,9 +274,6 @@ class System:
         feats = self._feats_fn(images)
         timing.kf_downsample = sw.lap()
 
-        relocalized = False
-        added = False
-
         if not self.initialized:
             # request-init semantics: first frame bootstraps the map; init
             # FAILS when too few points triangulate (< mm_min_map_points,
@@ -253,67 +283,28 @@ class System:
                 self.initialized = True
                 self.mapmaker.on_map_changed()
 
-        qposes = self._empty_queue_poses
-        if self.mapmaker.queue_size() > 0:
-            # rare path: stack the queued MKF poses/depths into the static
-            # slots (device-side tree ops, no host sync)
-            qR, qt, qd, qv = (list(x) for x in qposes)
-            for i, (_, qpose, qres, _) in enumerate(
-                self.mapmaker.queue[: self._qcap]
-            ):
-                qR[i], qt[i] = qpose.R, qpose.t
-                qd[i] = (jnp.mean(qres.mean_depth)
-                         if qres is not None else jnp.asarray(1.0))
-                qv[i] = jnp.ones((), bool)
-            qposes = (jnp.stack(qR), jnp.stack(qt),
-                      jnp.stack(qd), jnp.stack(qv))
+        qposes = self._queue_poses()
         self.ts, self.ms, res, scalars = self._step_fn(
             self.ts, self.ms, feats, cam_active, qposes
         )
-        # THE host sync of the common path: every control-flow scalar,
-        # FrameInfo field and map counter in one batched device_get
-        (lost, quality, add_flag, tot_found, n_pts, n_mkfs,
-         pose_R, pose_t, cov) = (
-            np.asarray(x) for x in jax.device_get(scalars)
-        )
-        timing.fine = sw.lap()
+        # start the device->host transfer now; it overlaps everything the
+        # host and device do until this frame drains from the pipeline
+        scalars.copy_to_host_async()
+        self._inflight.append(("f", self.frame_count, scalars, feats, res,
+                               cam_active))
+        self.frame_count += 1
 
-        if lost:
-            pose, ok, score = self._reloc_fn(self.ms, feats, cam_active)
-            if bool(ok):
-                self.ts = self.ts.replace(
-                    pose=pose, vel=jnp.zeros(6),
-                    lost_count=jnp.zeros((), jnp.int32),
-                )
-                relocalized = True
-
-        # MKF-add heuristics (ref src/Tracker.cc:468-488): good quality,
-        # map maker idle, far enough from the nearest keyframe — quality /
-        # lost / distance already folded into add_flag on device.  A
-        # ManualAddMKF request persists until an MKF is actually added
-        # (ref mbAddNext, src/Tracker.cc:470-487).
-        force_add = self._force_add_next and not lost
-        # the reference rejects adds only when the map-maker queue holds
-        # MORE than 2 MKFs (MapMakerClientBase::NeedNewMultiKeyFrame,
-        # src/MapMakerClientBase.cc:113); with 1-2 queued, the add decision
-        # stands but the heuristic has measured distance to the queued
-        # poses too (queue_dist in _device_step)
-        if (
-            (self.vars["AddingMKFs"] and add_flag or force_add)
-            and self.mapmaker.queue_size() <= 2
-        ):
-            self._force_add_next = False
-            # temporal candidate stability pruning before the frame
-            # becomes a keyframe (ref MakeKeyFrame_Rest's MiniPatch
-            # round-trip test, src/KeyFrame.cc:456-529)
-            mk_feats = feats
-            if self._prev_feats is not None:
-                mk_feats = self._cand_filter_fn(self._prev_feats, feats)
-            self.mapmaker.add_mkf(
-                mk_feats, res.pose, res, cam_active=cam_active
-            )
-            added = True
-        timing.add = sw.lap()
+        if self._inflight_frames() > self.pipeline_depth:
+            _, fid, sc, pfeats, pres, pcam = self._inflight.popleft()
+            info = self._drain_frame(fid, sc, pfeats, pres, pcam,
+                                     timing, sw, do_actions=True)
+        else:
+            # pipeline priming: publish the newest frame without running
+            # control actions (it runs them when it drains)
+            _, fid, sc, pfeats, pres, pcam = self._inflight[-1]
+            info = self._drain_frame(fid, sc, pfeats, pres, pcam,
+                                     timing, sw, do_actions=False)
+            info.provisional = True
 
         # map-maker tick(s) — the background thread's slice of this frame
         # (duty_budget_ms > 0 lets BA free-run within the budget, like the
@@ -322,7 +313,7 @@ class System:
         self.ms = self.mapmaker.step(
             self.ms, budget_s=budget * 1e-3 if budget > 0 else None
         )
-        if added:
+        if info.added_mkf:
             self.mapmaker.on_map_changed()
         # repeated BA failure -> full reset with pose carry-over
         # (ref RequestResetInternal -> reset service, srv/Reset.srv); dump
@@ -336,32 +327,273 @@ class System:
         timing.total = (
             timing.kf_downsample + timing.fine + timing.add + timing.depth
         )
-        # map counters come from the fused step (post point-stats): they
-        # lag this frame's map-maker integrations by one frame, which is
-        # fine for a monitoring field and saves a second host round-trip
-        timing.map_num_points = int(n_pts)
-        timing.map_num_mkfs = int(n_mkfs)
+        info.timing = timing
+        info.mm_state = self.mapmaker.state
+        return info
 
-        self.frame_count += 1
-        self._prev_feats = feats
-        self._last_result = res
-        pose34 = np.concatenate(
-            [np.asarray(pose_R), np.asarray(pose_t)[:, None]], axis=1
-        )
+    def _queue_poses(self):
+        """Stage queued-MKF poses/depths into the static distance slots
+        (device-side tree ops, no host sync); the cached all-empty
+        constant uploads nothing on the common empty-queue frame."""
+        qposes = self._empty_queue_poses
+        if self.mapmaker.queue_size() > 0:
+            qR, qt, qd, qv = (list(x) for x in qposes)
+            for i, (_, qpose, qres, _) in enumerate(
+                self.mapmaker.queue[: self._qcap]
+            ):
+                qR[i], qt[i] = qpose.R, qpose.t
+                qd[i] = (jnp.mean(qres.mean_depth)
+                         if qres is not None else jnp.asarray(1.0))
+                qv[i] = jnp.ones((), bool)
+            qposes = (jnp.stack(qR), jnp.stack(qt),
+                      jnp.stack(qd), jnp.stack(qv))
+        return qposes
+
+    def _drain_frame(self, fid, scalars, feats, res, cam_active,
+                     timing, sw, do_actions: bool) -> FrameInfo:
+        """Unpack one frame's packed scalars (a single device->host
+        transfer, usually already complete) and, when the frame drains for
+        real, run the host-side control actions it implies: relocalization,
+        the add-MKF decision, bookkeeping."""
+        v = np.asarray(scalars)
+        lost = bool(v[0]); quality = int(v[1]); add_flag = bool(v[2])
+        tot_found = int(v[3]); n_pts = int(v[4]); n_mkfs = int(v[5])
+        pose_R = v[6:15].reshape(3, 3)
+        pose_t = v[15:18]
+        cov = v[18:54].reshape(6, 6)
+        timing.fine = sw.lap()
+
+        relocalized = False
+        added = False
+        if do_actions:
+            if lost:
+                pose, ok, score = self._reloc_fn(self.ms, feats, cam_active)
+                if bool(ok):
+                    self.ts = self.ts.replace(
+                        pose=pose, vel=jnp.zeros(6),
+                        lost_count=jnp.zeros((), jnp.int32),
+                    )
+                    relocalized = True
+
+            # MKF-add heuristics (ref src/Tracker.cc:468-488): good
+            # quality, far enough from the nearest keyframe — quality /
+            # lost / distance already folded into add_flag on device.  A
+            # ManualAddMKF request persists until an MKF is actually added
+            # (ref mbAddNext, src/Tracker.cc:470-487).  The reference
+            # rejects adds only when the map-maker queue holds MORE than 2
+            # MKFs (MapMakerClientBase::NeedNewMultiKeyFrame,
+            # src/MapMakerClientBase.cc:113); with 1-2 queued, the add
+            # decision stands but the heuristic has measured distance to
+            # the queued poses too (queue_dist in _device_step).
+            force_add = self._force_add_next and not lost
+            if (
+                (self.vars["AddingMKFs"] and add_flag or force_add)
+                and self.mapmaker.queue_size() <= 2
+            ):
+                self._force_add_next = False
+                # temporal candidate stability pruning before the frame
+                # becomes a keyframe (ref MakeKeyFrame_Rest's MiniPatch
+                # round-trip test, src/KeyFrame.cc:456-529)
+                mk_feats = feats
+                if self._prev_feats is not None:
+                    mk_feats = self._cand_filter_fn(self._prev_feats, feats)
+                self.mapmaker.add_mkf(
+                    mk_feats, res.pose, res, cam_active=cam_active
+                )
+                added = True
+            self._prev_feats = feats
+            self._last_result = res
+        timing.add = sw.lap()
+        timing.map_num_points = n_pts
+        timing.map_num_mkfs = n_mkfs
+
+        pose34 = np.concatenate([pose_R, pose_t[:, None]], axis=1)
         return FrameInfo(
             pose=pose34,
-            cov=publish_pose_cov(pose34, cov, int(quality)),
-            cov_raw=np.asarray(cov),
-            quality=int(quality),
-            lost=bool(lost),
+            cov=publish_pose_cov(pose34, cov, quality),
+            cov_raw=cov,
+            quality=quality,
+            lost=lost,
             relocalized=relocalized,
-            n_points=timing.map_num_points,
-            n_mkfs=timing.map_num_mkfs,
-            n_found=int(tot_found),
+            n_points=n_pts,
+            n_mkfs=n_mkfs,
+            n_found=tot_found,
             mm_state=self.mapmaker.state,
             timing=timing,
             added_mkf=added,
+            frame_id=fid,
         )
+
+    def flush_pipeline(self):
+        """Drain every in-flight frame (end of stream / before reset),
+        returning their FrameInfos in order."""
+        out = []
+        while self._inflight:
+            entry = self._inflight.popleft()
+            if entry[0] == "f":
+                _, fid, sc, pfeats, pres, pcam = entry
+                out.append(self._drain_frame(
+                    fid, sc, pfeats, pres, pcam, TrackerTiming(),
+                    Stopwatch(), do_actions=True))
+            else:
+                out.extend(self._drain_batch(entry, do_actions=True))
+        return out
+
+    def _inflight_frames(self) -> int:
+        return sum(e[3].shape[0] if e[0] == "b" else 1
+                   for e in self._inflight)
+
+    # -- batched throughput mode -------------------------------------------
+    def _get_batch_fn(self, B: int):
+        from mcptam_tpu.map.keyframe import make_frame_features
+        key = (B, bool(self.vars["GlareMasking"]))
+        fn = self._batch_fns.get(key)
+        if fn is None:
+            masks = self._static_masks
+            glare = bool(self.vars["GlareMasking"])
+
+            def batch_step(ts, ms, images_b, cam_active, queue_poses):
+                def body(carry, images):
+                    ts, ms = carry
+                    feats = make_frame_features(
+                        images.astype(jnp.float32), static_masks=masks,
+                        glare_masking=glare,
+                    )
+                    ts2, ms2, _res, scalars = self._device_step(
+                        ts, ms, feats, cam_active, queue_poses
+                    )
+                    return (ts2, ms2), scalars
+
+                (ts2, ms2), scal = jax.lax.scan(body, (ts, ms), images_b)
+                return ts2, ms2, scal
+
+            fn = jax.jit(batch_step, donate_argnums=(0, 1))
+            self._batch_fns[key] = fn
+        return fn
+
+    def process_frames(self, images_batch, cam_active=None) -> list:
+        """Throughput mode: track B consecutive frames in ONE device
+        dispatch (``lax.scan`` over the frame axis inside jit), with the
+        same per-frame tracking semantics as :meth:`process_frame`.
+
+        Host dispatch overhead — two jitted calls with a ~150-leaf pytree
+        per frame, the throughput floor once transfers are pipelined — is
+        amortized /B, which is what lets a tunneled single-host deployment
+        approach the device-bound frame rate.  The cost is control-action
+        granularity: relocalization and keyframe adds are evaluated when a
+        batch drains (features recomputed for the acting frame; adds carry
+        no per-point tracker measurements — the refind sweep recovers
+        them, like the reference's ReFindNewlyMade).  Latency rises by
+        pipeline_depth + B frames; FrameInfos report their frame_id.
+
+        Returns a list of drained FrameInfos (possibly empty while the
+        pipeline primes)."""
+        images_batch = jnp.asarray(images_batch)
+        B = int(images_batch.shape[0])
+        if not self.initialized:
+            return [self.process_frame(images_batch[i], cam_active)
+                    for i in range(B)]
+        cam_active = (
+            jnp.ones((self.n_cams,), bool) if cam_active is None
+            else jnp.asarray(cam_active, bool)
+        )
+        qposes = self._queue_poses()
+        fn = self._get_batch_fn(B)
+        self.ts, self.ms, scal = fn(
+            self.ts, self.ms, images_batch, cam_active, qposes
+        )
+        scal.copy_to_host_async()
+        self._inflight.append(("b", self.frame_count, scal, images_batch,
+                               cam_active))
+        self.frame_count += B
+
+        out = []
+        while self._inflight and self._inflight_frames() > self.pipeline_depth:
+            entry = self._inflight.popleft()
+            if entry[0] == "f":
+                _, fid, sc, pfeats, pres, pcam = entry
+                out.append(self._drain_frame(
+                    fid, sc, pfeats, pres, pcam, TrackerTiming(),
+                    Stopwatch(), do_actions=True))
+            else:
+                out.extend(self._drain_batch(entry, do_actions=True))
+
+        # map-maker tick — one slice per batch
+        budget = self.mcfg.duty_budget_ms
+        self.ms = self.mapmaker.step(
+            self.ms, budget_s=budget * 1e-3 if budget > 0 else None
+        )
+        if any(i.added_mkf for i in out):
+            self.mapmaker.on_map_changed()
+        if self.mapmaker.reset_requested:
+            if self.mcfg.fail_dump_path:
+                from mcptam_tpu.system.mapio import dump_map_ascii
+                dump_map_ascii(self.mcfg.fail_dump_path, self.ms)
+            self.reset(keep_pose=True)
+        return out
+
+    def _drain_batch(self, entry, do_actions: bool) -> list:
+        """Unpack one drained batch into FrameInfos and run control
+        actions for it: relocalization if the newest frame is lost, at
+        most one keyframe add (features recomputed on demand)."""
+        _, fid0, scal, images_b, pcam = entry
+        v = np.asarray(scal)                      # (B, 54)
+        infos = []
+        for j in range(v.shape[0]):
+            r = v[j]
+            pose34 = np.concatenate(
+                [r[6:15].reshape(3, 3), r[15:18][:, None]], axis=1
+            )
+            cov = r[18:54].reshape(6, 6)
+            infos.append(FrameInfo(
+                pose=pose34,
+                cov=publish_pose_cov(pose34, cov, int(r[1])),
+                cov_raw=cov,
+                quality=int(r[1]),
+                lost=bool(r[0]),
+                relocalized=False,
+                n_points=int(r[4]),
+                n_mkfs=int(r[5]),
+                n_found=int(r[3]),
+                mm_state=self.mapmaker.state,
+                timing=TrackerTiming(map_num_points=int(r[4]),
+                                     map_num_mkfs=int(r[5])),
+                added_mkf=False,
+                frame_id=fid0 + j,
+            ))
+        if not do_actions:
+            return infos
+
+        last = infos[-1]
+        if last.lost:
+            feats = self._feats_fn(jnp.asarray(images_b[-1], jnp.float32))
+            pose, ok, _ = self._reloc_fn(self.ms, feats, pcam)
+            if bool(ok):
+                self.ts = self.ts.replace(
+                    pose=pose, vel=jnp.zeros(6),
+                    lost_count=jnp.zeros((), jnp.int32),
+                )
+                last.relocalized = True
+
+        # at most one add per batch: the newest qualifying frame
+        force_add = self._force_add_next and not last.lost
+        want = [j for j, i in enumerate(infos)
+                if bool(v[j][2]) and not i.lost]
+        if (
+            (self.vars["AddingMKFs"] and want or force_add)
+            and self.mapmaker.queue_size() <= 2
+        ):
+            j = want[-1] if want else len(infos) - 1
+            self._force_add_next = False
+            feats = self._feats_fn(
+                jnp.asarray(images_b[j], jnp.float32)
+            )
+            info = infos[j]
+            pose = SE3(R=jnp.asarray(info.pose[:, :3]),
+                       t=jnp.asarray(info.pose[:, 3]))
+            self.mapmaker.add_mkf(feats, pose, None, cam_active=pcam)
+            info.added_mkf = True
+        return infos
 
     @property
     def pose(self) -> SE3:
@@ -495,6 +727,7 @@ class System:
         self._force_add_next = False
         self.done = False
         self._kf_view = 0
+        self._inflight.clear()
 
     # -- GUI-command analogues (ref src/System.cc:305-405) -----------------
     def parse_line(self, line: str):

@@ -89,6 +89,40 @@ def test_profile_frame_fills_stage_taxonomy(ran_system):
          sys_.frame_count) = saved
 
 
+def test_pipelined_publish_and_batched_mode(ran_system):
+    """The pipelined publish path (pipeline_depth > 0: packed scalars
+    fetched asynchronously, FrameInfos lag by depth) and the batched
+    throughput path (process_frames: B frames per device dispatch via
+    lax.scan) must track like the synchronous path and report every
+    frame exactly once with correct frame_ids."""
+    sys_, cams, cfb, traj, infos = ran_system
+    pose = traj[-1]
+    images = render_rig(cams, cfb, pose, SEED, H, W)
+
+    base_fc = sys_.frame_count
+    sys_.pipeline_depth = 3
+    try:
+        got = [sys_.process_frame(images) for _ in range(5)]
+        drained = [i for i in got if not i.provisional]
+        # with depth 3, the 4th/5th calls drain frames base_fc/base_fc+1
+        assert [i.frame_id for i in drained] == [base_fc, base_fc + 1]
+        got += sys_.flush_pipeline()
+        ids = [i.frame_id for i in got if not i.provisional]
+        assert ids == list(range(base_fc, base_fc + 5))
+        assert not ids or not got[-1].lost
+    finally:
+        sys_.pipeline_depth = 0
+
+    # batched mode: two frames in one dispatch; depth 0 drains both
+    fc = sys_.frame_count
+    out = sys_.process_frames(jnp.stack([images, images]))
+    out += sys_.flush_pipeline()
+    assert [i.frame_id for i in out] == [fc, fc + 1]
+    assert all(not i.lost for i in out)
+    err_t = np.linalg.norm(out[-1].pose[:, 3] - np.asarray(pose.t))
+    assert err_t < 0.06, err_t
+
+
 def test_map_save_load_roundtrip(ran_system, tmp_path):
     sys_, *_ = ran_system
     p = str(tmp_path / "map.npz")
