@@ -98,7 +98,7 @@ def build_scene_on_cpu(H, W, C, max_points, max_mkfs, max_meas,
             [put(p) for p in poses], [put(f) for f in frames])
 
 
-def bench_e2e(n_frames: int = 60):
+def bench_e2e(n_frames: int = 120):
     """End-to-end System FPS + quality + jitted-step FPS."""
     import jax
     import jax.numpy as jnp
@@ -121,11 +121,12 @@ def bench_e2e(n_frames: int = 60):
     log("scene built; constructing System")
     tcfg = TrackerConfig()
     mcfg = MapMakerConfig()
+    B = 4   # frames per device dispatch (throughput mode)
     sys_ = System(
         cams, cam_from_base, cams_sbi, H, W, tcfg=tcfg, mcfg=mcfg,
         max_points=2048, max_mkfs=MAX_MKFS, max_meas=8192,
-        mapmaker=MapMaker(cams=cams, mcfg=mcfg, ba_chunk=2),
-        pipeline_depth=8,
+        mapmaker=MapMaker(cams=cams, mcfg=mcfg, ba_chunk=4),
+        pipeline_depth=2 * B,
     )
     sys_.ms = ms
     sys_.initialized = True
@@ -140,12 +141,15 @@ def bench_e2e(n_frames: int = 60):
     from mcptam_tpu.ba.bundle import create_lm_state
     ca = jnp.ones((C,), bool)
     feats = sys_._feats_fn(frames[0])
-    log("compiling: fused tracker step")
-    # ts/ms are donated into the step: rebind them or they dangle
-    sys_.ts, sys_.ms, res, _ = sys_._step_fn(sys_.ts, sys_.ms, feats, ca,
-                                             sys_._empty_queue_poses)
+    log("compiling: batched step")
+    bfn = sys_._get_batch_fn(B)
+    sys_.ts, sys_.ms, _ = bfn(sys_.ts, sys_.ms,
+                              jnp.stack(frames[:B]), ca,
+                              sys_._empty_queue_poses)
     log("compiling: relocalizer")
     sys_._reloc_fn(sys_.ms, feats, ca)
+    log("compiling: MKF integrate")
+    mm._integrate(sys_.ms, feats, sys_.ts.pose, None, ca)
     log("compiling: local BA")
     lprob = mm._local_prob_fn(sys_.ms)
     lst = mm._lm_run(lprob, create_lm_state(lprob, mm.bcfg))
@@ -163,33 +167,32 @@ def bench_e2e(n_frames: int = 60):
     mm._refind_retry_fn(sys_.ms)
     mm._partial_wb_fn(sys_.ms, lprob, lst)
     mm._count_mkfs_fn(sys_.ms)
-    del lprob, lst, gprob, gst, res, feats
+    del lprob, lst, gprob, gst, feats
     log("compile pass done; running scheduler lifecycle")
 
     # a short real run so tracker/map state settle into steady state
     sys_.mapmaker.on_map_changed()
-    for i in range(90):
-        sys_.process_frame(frames[i % len(frames)])
+    for i in range(0, 88, B):
+        sys_.process_frames(jnp.stack(
+            [frames[(i + j) % len(frames)] for j in range(B)]))
         if (i > 12 and not mm.queue and mm._ba_kind == "none"
                 and mm._local_done and mm._global_done):
             break
     sys_.flush_pipeline()
     log("warmup complete; timing e2e")
 
-    # --- timed section: fresh BA work over the whole trajectory.  MKF
-    # integration (epipolar point creation) is a bursty exploration-time
-    # path whose program is NOT pre-compiled here — its XLA compile alone
-    # costs ~4 minutes of the bench budget — so keyframe adds are latched
-    # off for the timed loop; the trajectory holds near the mapped
-    # viewpoint and does not trigger the add heuristic anyway.
-    sys_.vars["AddingMKFs"] = False
+    # --- timed section: fresh BA work over the whole trajectory, frames
+    # streamed B per dispatch (the throughput deployment mode); every
+    # scheduler action, including keyframe integration, is compiled and
+    # can fire.
     mm._idle_ticks = 1   # off the refind phases; GC path stays warm
     sys_.mapmaker.on_map_changed()
     by_fid = {}
     t0 = time.perf_counter()
-    for i in range(n_frames):
-        info = sys_.process_frame(frames[i % len(frames)])
-        if info.frame_id >= 0:
+    for i in range(0, n_frames, B):
+        infos = sys_.process_frames(jnp.stack(
+            [frames[(i + j) % len(frames)] for j in range(B)]))
+        for info in infos:
             by_fid[info.frame_id] = info
     for info in sys_.flush_pipeline():
         by_fid[info.frame_id] = info
@@ -212,19 +215,19 @@ def bench_e2e(n_frames: int = 60):
         dt = te - dR @ tg
         errs.append(float(np.hypot(ang, np.linalg.norm(dt))))
 
-    # --- jitted tracker step ceiling, from the ALREADY-COMPILED System
-    # programs (features + fused step chained back-to-back, one sync)
+    # --- jitted tracker step ceiling: the batched step program alone
+    # (features + track + stats per frame, B frames per dispatch, no
+    # map-maker / publish work), from the ALREADY-COMPILED System programs
     ts, msd = sys_.ts, sys_.ms
     qposes = sys_._empty_queue_poses
-    ca = jnp.ones((C,), bool)
-    n_jit = 60
-    feats = sys_._feats_fn(frames[0])
-    ts, msd, _, sc = sys_._step_fn(ts, msd, feats, ca, qposes)
+    batches = [jnp.stack([frames[(i + j) % len(frames)] for j in range(B)])
+               for i in range(0, len(frames), B)]
+    n_jit = 64
+    ts, msd, sc = bfn(ts, msd, batches[0], ca, qposes)
     sc.block_until_ready()
     t0 = time.perf_counter()
-    for i in range(n_jit):
-        feats = sys_._feats_fn(frames[i % len(frames)])
-        ts, msd, _, sc = sys_._step_fn(ts, msd, feats, ca, qposes)
+    for i in range(n_jit // B):
+        ts, msd, sc = bfn(ts, msd, batches[i % len(batches)], ca, qposes)
     sc.block_until_ready()
     jit_fps = n_jit / (time.perf_counter() - t0)
     return e2e_fps, jit_fps, float(np.mean(found)), float(np.max(errs))
@@ -249,15 +252,16 @@ def bench_lm(chunks: int = 6, chunk: int = 10):
     from mcptam_tpu.system.mapmaker import _bucket
 
     cases = [
+        # global BA, mid-size live map — the headline LM metric, first so
+        # a tight budget still produces it
+        ("global", dict(n_poses=16, n_points=2048, n_cams=4, sparse_k=8192),
+         80.0),
         # local BA: newest + 3 neighbors over their points (snRecentNum=3)
         ("local", dict(n_poses=4, n_points=512, n_cams=4, sparse_k=2048),
          60.0),
-        # global BA, mid-size live map
-        ("global", dict(n_poses=16, n_points=2048, n_cams=4, sparse_k=8192),
-         100.0),
         # full static capacity (MAX_MKFS=48 x MAX_POINTS=4096 x MAX_MEAS)
         ("capacity", dict(n_poses=48, n_points=4096, n_cams=4,
-                          sparse_k=32768), 200.0),
+                          sparse_k=32768), 180.0),
     ]
     out = {}
     compiled = {}
@@ -300,26 +304,26 @@ def bench_lm(chunks: int = 6, chunk: int = 10):
         out[name] = chunks * chunk / dt
         log(f"lm[{name}]: {out[name]:.1f} iters/s")
 
-        if name == "local":
+        if name == "global":
             # fidelity: mean reprojection error the f32 LM leaves on a
             # NOISELESS synthetic bundle (target < 1e-3 px), same static
-            # shapes as the local case so the compiled program is reused
+            # shapes as the global case so the compiled program is reused
             from mcptam_tpu.ba.bundle import _residuals_and_jacobians
-            probf, camsf = build(n_poses=4, n_points=512, n_cams=4,
-                                 sparse_k=2048, noise=0.0)
+            probf, camsf = build(n_poses=16, n_points=2048, n_cams=4,
+                                 sparse_k=8192, noise=0.0)
             probf_t = attach_obs_table(probf, D)
             stf = create_lm_state(probf_t)
             runf = get_run(probf_t, camsf)
-            for _ in range(3):            # 30 iterations
-                stf = runf(probf_t, stf)
+            for _ in range(10):           # 100 iterations (sparse graph:
+                stf = runf(probf_t, stf)  # ~4 obs/point converges slowly)
             # score on the host CPU backend (eager residuals on a
             # tunneled chip cost one round-trip per primitive)
             cpu = jax.devices("cpu")[0]
-            put = lambda t: jax.device_put(jax.device_get(t), cpu)
+            host = jax.device_get
             with jax.default_device(cpu):
                 e, _, _, _, okm = _residuals_and_jacobians(
-                    put(probf), put(stf.pose_a), put(stf.pose_b),
-                    put(stf.points), put(camsf)
+                    host(probf), host(stf.pose_a), host(stf.pose_b),
+                    jnp.asarray(host(stf.points)), host(camsf)
                 )
                 n_ok = int(jnp.sum(okm))
                 fid_err = float(

@@ -641,7 +641,14 @@ def _lm_step_soa_carried(prob: BundleProblem, st: LMState, chi2, ok,
                                   new_points, cams)
     cost1 = jnp.sum(mest.objective_score(mest.HUBER, chi2_1, sigma_sq) * ok1)
 
-    accept = cost1 < cost0
+    # a trial whose valid-measurement count collapses scores a spuriously
+    # low cost (invalid residuals are masked out of the sum) — a NaN/inf
+    # step from a near-singular solve would otherwise be "accepted" at
+    # cost 0.  Guard like g2o's chi2 validity: the step must keep at
+    # least half the currently valid measurements valid.
+    n_ok0 = jnp.sum(ok)
+    keeps_valid = jnp.sum(ok1) * 2 >= n_ok0
+    accept = (cost1 < cost0) & keeps_valid
     n_upd = jnp.sum(da * da) + jnp.sum(db * db) + jnp.sum(dl * dl)
     n_params = (
         6.0 * (jnp.sum(prob.movable_a) + jnp.sum(prob.movable_b))
@@ -710,7 +717,9 @@ def lm_step(prob: BundleProblem, st: LMState, cams: CameraModel,
     chi2_1 = jnp.sum(e1 * e1, axis=-1)
     cost1 = jnp.sum(mest.objective_score(mest.HUBER, chi2_1, sigma_sq) * ok1)
 
-    accept = cost1 < cost0
+    # reject trials that invalidate the measurement set (masked residuals
+    # make a NaN step score ~0 cost; see _lm_step_soa_carried)
+    accept = (cost1 < cost0) & (jnp.sum(ok1) * 2 >= jnp.sum(ok))
     n_upd = (
         jnp.sum(da * da) + jnp.sum(db * db) + jnp.sum(dl * dl)
     )

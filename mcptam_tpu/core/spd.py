@@ -30,7 +30,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _spd_kernel(a_ref, b_ref, x_ref, u_ref, lt_ref):
+def _spd_kernel(a_ref, b_ref, x_ref, u_ref, lt_ref, *, n_real: int):
     """Cholesky A = U^T U (U upper, rows of U = columns of L) followed by
     column-oriented forward/back substitution, all in VMEM.
 
@@ -39,7 +39,12 @@ def _spd_kernel(a_ref, b_ref, x_ref, u_ref, lt_ref):
     applies a rank-1 update to the trailing matrix — the lane-dim column
     accesses a textbook Cholesky needs are avoided by symmetry (column j
     of the working matrix == row j) and by materializing U^T once for the
-    back-substitution."""
+    back-substitution.
+
+    All three loops run n_real steps, not the 128-padded count: the pad
+    block is identity with zero cross terms and zero rhs, so its rows
+    never influence the live block (factored rows stay raw identity,
+    which the masked rank-1 updates treat as already-final)."""
     n = a_ref.shape[0]
     m = b_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -49,7 +54,7 @@ def _spd_kernel(a_ref, b_ref, x_ref, u_ref, lt_ref):
     def factor_step(j, _):
         row = u_ref[pl.ds(j, 1), :]                      # (1, n)
         d = jnp.sum(jnp.where(lane == j, row, 0.0))
-        inv = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+        inv = jax.lax.rsqrt(jnp.maximum(d, 1e-12))
         urow = row * inv
         u_ref[pl.ds(j, 1), :] = jnp.where(lane >= j, urow, 0.0)
         v = jnp.where(lane > j, urow, 0.0)               # (1, n)
@@ -58,7 +63,7 @@ def _spd_kernel(a_ref, b_ref, x_ref, u_ref, lt_ref):
         u_ref[:] = u_ref[:] - v.reshape(n, 1) * v
         return 0
 
-    jax.lax.fori_loop(0, n, factor_step, 0, unroll=False)
+    jax.lax.fori_loop(0, n_real, factor_step, 0, unroll=False)
 
     # forward solve U^T y = b (column-oriented: column j of U^T is row j
     # of U), y accumulated in place in x_ref
@@ -67,28 +72,28 @@ def _spd_kernel(a_ref, b_ref, x_ref, u_ref, lt_ref):
     def fwd_step(j, _):
         urow = u_ref[pl.ds(j, 1), :]
         d = jnp.sum(jnp.where(lane == j, urow, 0.0))
-        yrow = x_ref[pl.ds(j, 1), :] / jnp.maximum(d, 1e-30)
+        yrow = x_ref[pl.ds(j, 1), :] / jnp.maximum(d, 1e-12)
         x_ref[pl.ds(j, 1), :] = yrow
         v = jnp.where(lane > j, urow, 0.0)
         x_ref[:] = x_ref[:] - v.reshape(n, 1) * yrow
         return 0
 
-    jax.lax.fori_loop(0, n, fwd_step, 0, unroll=False)
+    jax.lax.fori_loop(0, n_real, fwd_step, 0, unroll=False)
 
     # back solve U x = y (column-oriented: column j of U is row j of U^T)
     lt_ref[:] = u_ref[:].T
 
     def back_step(jj, _):
-        j = n - 1 - jj
+        j = n_real - 1 - jj
         ltrow = lt_ref[pl.ds(j, 1), :]
         d = jnp.sum(jnp.where(lane == j, ltrow, 0.0))
-        xrow = x_ref[pl.ds(j, 1), :] / jnp.maximum(d, 1e-30)
+        xrow = x_ref[pl.ds(j, 1), :] / jnp.maximum(d, 1e-12)
         x_ref[pl.ds(j, 1), :] = xrow
         v = jnp.where(lane < j, ltrow, 0.0)
         x_ref[:] = x_ref[:] - v.reshape(n, 1) * xrow
         return 0
 
-    jax.lax.fori_loop(0, n, back_step, 0, unroll=False)
+    jax.lax.fori_loop(0, n_real, back_step, 0, unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -105,7 +110,7 @@ def _spd_solve_pallas(A: jnp.ndarray, B: jnp.ndarray, interpret: bool = False):
         B.astype(jnp.float32)
     )
     X = pl.pallas_call(
-        _spd_kernel,
+        functools.partial(_spd_kernel, n_real=n),
         out_shape=jax.ShapeDtypeStruct((npad, mpad), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -49,23 +49,30 @@ def _level_candidates(feats: FrameFeatures, cam: int, level: int, cap: int):
     return xy, vals > 0.0
 
 
-def thin_candidates(ms: MapState, mkf_idx, cam, level: int, xy_level, want,
+def thin_candidates(ms: MapState, mkf_idx, cam, level, xy_level, want,
                     radius: float = 10.0):
     """Drop candidates within `radius` level-px of a busy position — an
     existing measurement of this KF at the same level or one level higher
-    (ThinCandidates, src/MapMakerServerBase.cc:411-447)."""
+    (ThinCandidates, src/MapMakerServerBase.cc:411-447).
+
+    `cam`/`level` may be scalars or per-candidate (Q,) arrays — the
+    batched form lets one call thin a whole multi-level multi-camera
+    candidate block (one program instead of levels x cams copies)."""
     meas = ms.meas
+    cam = jnp.broadcast_to(jnp.asarray(cam), want.shape)
+    level = jnp.broadcast_to(jnp.asarray(level), want.shape)
     busy = (
-        meas.valid
-        & (meas.mkf == mkf_idx)
-        & (meas.cam == cam)
-        & ((meas.level == level) | (meas.level == level + 1))
-    )
-    busy_xy = meas.uv_l0 / (2.0 ** level)            # (K,2) level coords
-    d2 = jnp.sum(
-        (xy_level[:, None, :] - busy_xy[None, :, :]) ** 2, axis=-1
+        (meas.valid & (meas.mkf == mkf_idx))[None, :]
+        & (meas.cam[None, :] == cam[:, None])
+        & ((meas.level[None, :] == level[:, None])
+           | (meas.level[None, :] == level[:, None] + 1))
     )                                                 # (Q,K)
-    near = jnp.any(busy[None, :] & (d2 < radius * radius), axis=-1)
+    busy_xy = (
+        meas.uv_l0[None, :, :]
+        / (2.0 ** level.astype(jnp.float32))[:, None, None]
+    )                                                 # (Q,K,2)
+    d2 = jnp.sum((xy_level[:, None, :] - busy_xy) ** 2, axis=-1)
+    near = jnp.any(busy & (d2 < radius * radius), axis=-1)
     return want & ~near
 
 
@@ -73,33 +80,54 @@ def _epi_pass(ms, cams, mkf_idx, feats, levels, region: str, cam_active,
               mcfg: MapMakerConfig, cap_per_level: int):
     """One region pass of AddStereoMapPoints over the given levels: thin
     candidates, pick the closest target KF in `region`, epipolar-create.
-    Returns (ms, n_created_total)."""
+    Returns (ms, n_created_total).
+
+    All CAMERA blocks of a level are STACKED into one thin + one
+    create_epipolar_points call with per-row cam/target parameters: a
+    per-(level, cam) loop instantiated the full epipolar machinery
+    levels x cams times inside one jitted program, which alone cost ~4
+    minutes of XLA compile for a 4-camera rig.  Levels stay SEQUENTIAL —
+    thinning consults only same-camera measurements at the candidate's
+    level or one above (ThinCandidates, ref :411-447), so camera blocks
+    never interact within a level and this batching is exactly the
+    reference's creation order, at C-fold fewer graph instantiations."""
     C = ms.cam_from_base.t.shape[0]
     made_total = jnp.zeros((), jnp.int32)
+    tgts = [closest_kf(ms, mkf_idx, c, region) for c in range(C)]
     for level in levels:
+        xs, wants, camv, tmv, tcv = [], [], [], [], []
         for c in range(C):
             xy, want = _level_candidates(feats, c, level, cap_per_level)
             Q = xy.shape[0]
             if cam_active is not None:
                 want = want & cam_active[c]
-            want = thin_candidates(
-                ms, mkf_idx, c, level, xy, want, mcfg.thin_radius
-            )
-            tgt_m, tgt_c, tgt_ok = closest_kf(ms, mkf_idx, c, region)
+            tgt_m, tgt_c, tgt_ok = tgts[c]
             if cam_active is not None and region == "self":
                 tgt_ok = tgt_ok & cam_active[tgt_c]
-            ms, made = create_epipolar_points(
-                ms, cams,
-                src_mkf=jnp.broadcast_to(mkf_idx, (Q,)),
-                src_cam=jnp.full((Q,), c, jnp.int32),
-                tgt_mkf=jnp.broadcast_to(tgt_m, (Q,)),
-                tgt_cam=jnp.broadcast_to(tgt_c, (Q,)),
-                level=jnp.full((Q,), level, jnp.int32),
-                xy_level=xy,
-                want=want & tgt_ok,
-                n_hypotheses=mcfg.epi_max_hypotheses,
-            )
-            made_total = made_total + jnp.sum(made)
+            xs.append(xy)
+            wants.append(want & tgt_ok)
+            camv.append(jnp.full((Q,), c, jnp.int32))
+            tmv.append(jnp.broadcast_to(tgt_m, (Q,)))
+            tcv.append(jnp.broadcast_to(tgt_c, (Q,)))
+        xy = jnp.concatenate(xs)
+        want = jnp.concatenate(wants)
+        camv = jnp.concatenate(camv)
+        QT = xy.shape[0]
+        lvlv = jnp.full((QT,), level, jnp.int32)
+        want = thin_candidates(ms, mkf_idx, camv, lvlv, xy, want,
+                               mcfg.thin_radius)
+        ms, made = create_epipolar_points(
+            ms, cams,
+            src_mkf=jnp.broadcast_to(mkf_idx, (QT,)),
+            src_cam=camv,
+            tgt_mkf=jnp.concatenate(tmv),
+            tgt_cam=jnp.concatenate(tcv),
+            level=lvlv,
+            xy_level=xy,
+            want=want,
+            n_hypotheses=mcfg.epi_max_hypotheses,
+        )
+        made_total = made_total + jnp.sum(made)
     return ms, made_total
 
 
