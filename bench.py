@@ -271,8 +271,10 @@ def bench_lm(chunks: int = 6, chunk: int = 10):
                prob_t.obs_idx.shape, prob_t.pose_a.t.shape,
                prob_t.pose_b.t.shape)
         if key not in compiled:
+            # bench problems fix the extrinsics (movable_b all-False,
+            # like the production map-maker BA) -> static fixed_b path
             compiled[key] = jax.jit(
-                lambda p, s: lm_run(p, s, cams, chunk))
+                lambda p, s: lm_run(p, s, cams, chunk, fixed_b=True))
         return compiled[key]
 
     fid_err = None

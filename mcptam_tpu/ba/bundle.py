@@ -399,13 +399,16 @@ def _resid_chi2_soa(prob: BundleProblem, pose_a: SE3, pose_b: SE3,
 
 
 def _resid_jac_soa(prob: BundleProblem, pose_a: SE3, pose_b: SE3,
-                   points, cams: CameraModel, pr: dict):
+                   points, cams: CameraModel, pr: dict,
+                   with_b: bool = True):
     """Residuals + analytic Jacobians at the obs-table entries, SoA.
 
     Returns (e [2 x (N,)], Ja [2][6], Jb [2][6], Jl [2][3], ok (N,)) with
     every component zeroed where ~ok, level-scaled, and the movable masks
     folded in — the SoA twin of _residuals_and_jacobians
-    (ref EdgeChainMeas::linearizeOplus, src/ChainBundle.cc:449-749)."""
+    (ref EdgeChainMeas::linearizeOplus, src/ChainBundle.cc:449-749).
+    with_b=False (every pose_b fixed, the BundleAdjusterMulti case) skips
+    the pose-b Jacobian chains entirely and returns Jb=None."""
     from mcptam_tpu.core.camera import camera_soa, project_chain_soa
     idx, ia, ib, icam = pr["idx"], pr["ia"], pr["ib"], pr["icam"]
     L, D = prob.obs_idx.shape
@@ -432,7 +435,6 @@ def _resid_jac_soa(prob: BundleProblem, pose_a: SE3, pose_b: SE3,
         return [[zero, -p[2], p[1]], [p[2], zero, -p[0]], [-p[1], p[0], zero]]
 
     rot_a = skew_rows(pb_)
-    rot_b = skew_rows(pc_)
     # d p_cam / d delta_a: translation g -> column g of Rb; rotation r ->
     # Rb @ rot_a[r]
     dcam_a = [[Rb[i][g] for i in range(3)] for g in range(3)] + [
@@ -440,20 +442,25 @@ def _resid_jac_soa(prob: BundleProblem, pose_a: SE3, pose_b: SE3,
          + Rb[i][2] * rot_a[r][2] for i in range(3)]
         for r in range(3)
     ]
-    eye = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
-    dcam_b = [[jnp.full_like(zero, eye[g][i]) for i in range(3)]
-              for g in range(3)] + [
-        [rot_b[r][i] for i in range(3)] for r in range(3)
-    ]
     Rba = [[Rb[i][0] * Ra[0][m] + Rb[i][1] * Ra[1][m] + Rb[i][2] * Ra[2][m]
             for m in range(3)] for i in range(3)]
 
     Ja = [[duv[i][0] * dcam_a[g][0] + duv[i][1] * dcam_a[g][1]
            + duv[i][2] * dcam_a[g][2] for g in range(6)] for i in range(2)]
-    Jb = [[duv[i][0] * dcam_b[g][0] + duv[i][1] * dcam_b[g][1]
-           + duv[i][2] * dcam_b[g][2] for g in range(6)] for i in range(2)]
     Jl = [[duv[i][0] * Rba[0][m] + duv[i][1] * Rba[1][m]
            + duv[i][2] * Rba[2][m] for m in range(3)] for i in range(2)]
+    if with_b:
+        rot_b = skew_rows(pc_)
+        eye = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+        dcam_b = [[jnp.full_like(zero, eye[g][i]) for i in range(3)]
+                  for g in range(3)] + [
+            [rot_b[r][i] for i in range(3)] for r in range(3)
+        ]
+        Jb = [[duv[i][0] * dcam_b[g][0] + duv[i][1] * dcam_b[g][1]
+               + duv[i][2] * dcam_b[g][2] for g in range(6)]
+              for i in range(2)]
+    else:
+        Jb = None
 
     lvl = _pad_tail(prob.m_level)[idx].astype(jnp.float32)
     inv_scale = 1.0 / (2.0 ** lvl)
@@ -465,17 +472,20 @@ def _resid_jac_soa(prob: BundleProblem, pose_a: SE3, pose_b: SE3,
     for i in range(2):
         ok = ok & jnp.isfinite(e[i])
         for g in range(6):
-            ok = ok & jnp.isfinite(Ja[i][g]) & jnp.isfinite(Jb[i][g])
+            ok = ok & jnp.isfinite(Ja[i][g])
+            if with_b:
+                ok = ok & jnp.isfinite(Jb[i][g])
         for m in range(3):
             ok = ok & jnp.isfinite(Jl[i][m])
 
     mva = prob.movable_a.astype(jnp.float32)[ia] * inv_scale
-    mvb = prob.movable_b.astype(jnp.float32)[ib] * inv_scale
     mvl = prob.movable_pt.astype(jnp.float32)[ipt] * inv_scale
     z = lambda x: jnp.where(ok, x, 0.0)
     e = [z(x) for x in e]
     Ja = [[z(Ja[i][g]) * mva for g in range(6)] for i in range(2)]
-    Jb = [[z(Jb[i][g]) * mvb for g in range(6)] for i in range(2)]
+    if with_b:
+        mvb = prob.movable_b.astype(jnp.float32)[ib] * inv_scale
+        Jb = [[z(Jb[i][g]) * mvb for g in range(6)] for i in range(2)]
     Jl = [[z(Jl[i][m]) * mvl for m in range(3)] for i in range(2)]
     return e, Ja, Jb, Jl, ok
 
@@ -498,19 +508,31 @@ _HP = jax.lax.Precision.HIGHEST
 
 
 def _solve_delta_soa(prob: BundleProblem, pr: dict, pose_a: SE3,
-                     pose_b: SE3, points, cams: CameraModel, w, lam):
+                     pose_b: SE3, points, cams: CameraModel, w, lam,
+                     fixed_b: bool = False):
     """One damped GN solve via Schur complement, SoA layout throughout.
-    Matches _solve_delta numerically (same damping, pinning, solve)."""
+    Matches _solve_delta numerically (same damping, pinning, solve).
+
+    fixed_b=True declares every pose_b statically fixed (the live
+    BundleAdjusterMulti case: camera-from-base extrinsics never move,
+    src/BundleAdjusterMulti.cc:55-203) — the entire pose-b machinery
+    (Jb chains, 36*Pb masked Hab rows, Mb, Xb/Wb3) drops out of the
+    graph and the reduced system shrinks from 6(Pa+Pb) to 6Pa, which
+    also shortens the sequential Cholesky.  Only the caller can know
+    this statically (movable_b is a traced array): passing fixed_b=True
+    when movable_b contains True silently freezes those poses."""
     from mcptam_tpu.core.spd import spd_solve
     L, D = prob.obs_idx.shape
     Pa = prob.movable_a.shape[0]
     Pb = prob.movable_b.shape[0]
     P = Pa + Pb
 
-    e, Ja, Jb, Jl, okN = _resid_jac_soa(prob, pose_a, pose_b, points, cams, pr)
+    e, Ja, Jb, Jl, okN = _resid_jac_soa(prob, pose_a, pose_b, points,
+                                        cams, pr, with_b=not fixed_b)
     q = jnp.sqrt(jnp.maximum(_pad_tail(w)[pr["idx"]], 0.0)) * okN
     A = [[q * Ja[i][g] for g in range(6)] for i in range(2)]
-    B = [[q * Jb[i][g] for g in range(6)] for i in range(2)]
+    B = None if fixed_b else [[q * Jb[i][g] for g in range(6)]
+                              for i in range(2)]
     Pt = [[q * Jl[i][m] for m in range(3)] for i in range(2)]
     eq = [q * e[0], q * e[1]]
     # materialize the weighted rows once; everything below reads them
@@ -520,23 +542,27 @@ def _solve_delta_soa(prob: BundleProblem, pr: dict, pose_a: SE3,
     gram = lambda X, v, wc: X[0][v] * X[0][wc] + X[1][v] * X[1][wc]
     rows_a = [gram(A, v, wc) for v, wc in pairs]
     rows_a += [A[0][v] * eq[0] + A[1][v] * eq[1] for v in range(6)]
-    hab = [[gram2 for gram2 in
-            (A[0][v] * B[0][wc] + A[1][v] * B[1][wc] for wc in range(6))]
-           for v in range(6)]
-    ibf = pr["ib"]
-    for c in range(Pb):
-        mask_c = (ibf == c).astype(jnp.float32)
-        rows_a += [hab[v][wc] * mask_c for v in range(6) for wc in range(6)]
+    if not fixed_b:
+        hab = [[gram2 for gram2 in
+                (A[0][v] * B[0][wc] + A[1][v] * B[1][wc]
+                 for wc in range(6))]
+               for v in range(6)]
+        ibf = pr["ib"]
+        for c in range(Pb):
+            mask_c = (ibf == c).astype(jnp.float32)
+            rows_a += [hab[v][wc] * mask_c
+                       for v in range(6) for wc in range(6)]
     Ma = jax.lax.dot_general(
         jnp.stack(rows_a, 0), pr["oha"].reshape(-1, Pa),
         (((1,), (0,)), ((), ())), precision=_HP,
     )
-    rows_b = [gram(B, v, wc) for v, wc in pairs]
-    rows_b += [B[0][v] * eq[0] + B[1][v] * eq[1] for v in range(6)]
-    Mb = jax.lax.dot_general(
-        jnp.stack(rows_b, 0), pr["ohb"].reshape(-1, Pb),
-        (((1,), (0,)), ((), ())), precision=_HP,
-    )
+    if not fixed_b:
+        rows_b = [gram(B, v, wc) for v, wc in pairs]
+        rows_b += [B[0][v] * eq[0] + B[1][v] * eq[1] for v in range(6)]
+        Mb = jax.lax.dot_general(
+            jnp.stack(rows_b, 0), pr["ohb"].reshape(-1, Pb),
+            (((1,), (0,)), ((), ())), precision=_HP,
+        )
 
     def sym_blocks(rows21, Pn):
         Hb = jnp.zeros((6, 6, Pn))
@@ -548,18 +574,25 @@ def _solve_delta_soa(prob: BundleProblem, pr: dict, pose_a: SE3,
 
     Haa = sym_blocks(Ma[:21], Pa)
     b_pa = Ma[21:27].T                                             # (Pa,6)
-    Hbb = sym_blocks(Mb[:21], Pb)
-    b_pb = Mb[21:27].T
-    Hab = Ma[27:].reshape(Pb, 6, 6, Pa).transpose(3, 1, 0, 2)      # (Pa,6,Pb,6)
-
     ja = jnp.arange(Pa)
-    jb = jnp.arange(Pb)
     TL = jnp.zeros((Pa, 6, Pa, 6)).at[ja, :, ja, :].set(Haa)
-    BR = jnp.zeros((Pb, 6, Pb, 6)).at[jb, :, jb, :].set(Hbb)
-    top = jnp.concatenate([TL, Hab], axis=2)
-    bot = jnp.concatenate([Hab.transpose(2, 3, 0, 1), BR], axis=2)
-    Hf = jnp.concatenate([top, bot], axis=0).reshape(6 * P, 6 * P)
-    b_p = jnp.concatenate([b_pa, b_pb], axis=0).reshape(-1)
+    if fixed_b:
+        PS = Pa          # poses in the reduced system
+        Hf = TL.reshape(6 * Pa, 6 * Pa)
+        b_p = b_pa.reshape(-1)
+        movable = prob.movable_a
+    else:
+        PS = P
+        Hbb = sym_blocks(Mb[:21], Pb)
+        b_pb = Mb[21:27].T
+        Hab = Ma[27:].reshape(Pb, 6, 6, Pa).transpose(3, 1, 0, 2)  # (Pa,6,Pb,6)
+        jb = jnp.arange(Pb)
+        BR = jnp.zeros((Pb, 6, Pb, 6)).at[jb, :, jb, :].set(Hbb)
+        top = jnp.concatenate([TL, Hab], axis=2)
+        bot = jnp.concatenate([Hab.transpose(2, 3, 0, 1), BR], axis=2)
+        Hf = jnp.concatenate([top, bot], axis=0).reshape(6 * P, 6 * P)
+        b_p = jnp.concatenate([b_pa, b_pb], axis=0).reshape(-1)
+        movable = jnp.concatenate([prob.movable_a, prob.movable_b])
 
     # point side
     dsum = lambda x: x.reshape(L, D).sum(axis=1)
@@ -581,20 +614,24 @@ def _solve_delta_soa(prob: BundleProblem, pr: dict, pose_a: SE3,
         [A[0][v] * Pt[0][m] + A[1][v] * Pt[1][m]
          for v in range(6) for m in range(3)], axis=-1,
     ).reshape(L, D, 18)
-    Xb = jnp.stack(
-        [B[0][v] * Pt[0][m] + B[1][v] * Pt[1][m]
-         for v in range(6) for m in range(3)], axis=-1,
-    ).reshape(L, D, 18)
     Wa3 = jax.lax.dot_general(pr["oha"], Xa, (((1,), (1,)), ((0,), (0,))),
                               precision=_HP)                # (L, Pa, 18)
-    Wb3 = jax.lax.dot_general(pr["ohb"], Xb, (((1,), (1,)), ((0,), (0,))),
-                              precision=_HP)
-    Wcat = jnp.concatenate([Wa3, Wb3], axis=1)              # (L, P, 18)
-    W = [Wcat[:, :, m::3].reshape(L, 6 * P) for m in range(3)]
+    if fixed_b:
+        Wcat = Wa3
+    else:
+        Xb = jnp.stack(
+            [B[0][v] * Pt[0][m] + B[1][v] * Pt[1][m]
+             for v in range(6) for m in range(3)], axis=-1,
+        ).reshape(L, D, 18)
+        Wb3 = jax.lax.dot_general(pr["ohb"], Xb,
+                                  (((1,), (1,)), ((0,), (0,))),
+                                  precision=_HP)
+        Wcat = jnp.concatenate([Wa3, Wb3], axis=1)          # (L, P, 18)
+    W = [Wcat[:, :, m::3].reshape(L, 6 * PS) for m in range(3)]
     W = jax.lax.optimization_barrier(W)
 
     T = [Vinv[0][y][:, None] * W[0] + Vinv[1][y][:, None] * W[1]
-         + Vinv[2][y][:, None] * W[2] for y in range(3)]    # 3 x (L, 6P)
+         + Vinv[2][y][:, None] * W[2] for y in range(3)]    # 3 x (L, 6PS)
 
     mm = lambda X, Y: jax.lax.dot_general(
         X, Y, (((0,), (0,)), ((), ())), precision=_HP)      # X^T @ Y
@@ -604,22 +641,24 @@ def _solve_delta_soa(prob: BundleProblem, pr: dict, pose_a: SE3,
     hd = jnp.diagonal(Hf)
     S = Hf + jnp.diag(lam * hd + 1e-8) - S_corr
 
-    movable = jnp.concatenate([prob.movable_a, prob.movable_b])
     mvec = jnp.repeat(movable, 6).astype(jnp.float32)
     Sf = S * mvec[:, None] * mvec[None, :] + jnp.diag(1.0 - mvec)
     delta_f = spd_solve(Sf, b_s * mvec) * mvec
-    delta_p = delta_f.reshape(P, 6) * movable[:, None]
+    delta_p = delta_f.reshape(PS, 6) * movable[:, None]
 
     r = [b_l[m] - W[m] @ delta_f for m in range(3)]
     dl = jnp.stack(
         [Vinv[y][0] * r[0] + Vinv[y][1] * r[1] + Vinv[y][2] * r[2]
          for y in range(3)], axis=-1,
     )
+    if fixed_b:
+        return delta_p, jnp.zeros((Pb, 6), delta_p.dtype), dl
     return delta_p[:Pa], delta_p[Pa:], dl
 
 
 def _lm_step_soa_carried(prob: BundleProblem, st: LMState, chi2, ok,
-                         cams: CameraModel, bcfg: BundleConfig, pr: dict):
+                         cams: CameraModel, bcfg: BundleConfig, pr: dict,
+                         fixed_b: bool = False):
     """One LM iteration, SoA fast path, with the CURRENT-estimate chi2
     carried in (and out) so a scanned lm_run evaluates residuals over the
     full measurement set once per iteration (the trial pass) instead of
@@ -630,11 +669,12 @@ def _lm_step_soa_carried(prob: BundleProblem, st: LMState, chi2, ok,
     cost0 = jnp.sum(mest.objective_score(mest.HUBER, chi2, sigma_sq) * ok)
 
     da, db, dl = _solve_delta_soa(
-        prob, pr, st.pose_a, st.pose_b, st.points, cams, w, st.lam
+        prob, pr, st.pose_a, st.pose_b, st.points, cams, w, st.lam,
+        fixed_b=fixed_b,
     )
 
     new_pose_a = SE3.exp(da) @ st.pose_a
-    new_pose_b = SE3.exp(db) @ st.pose_b
+    new_pose_b = st.pose_b if fixed_b else SE3.exp(db) @ st.pose_b
     new_points = st.points + dl
 
     chi2_1, ok1 = _resid_chi2_soa(prob, new_pose_a, new_pose_b,
@@ -688,18 +728,20 @@ def _lm_step_soa_carried(prob: BundleProblem, st: LMState, chi2, ok,
 
 
 def _lm_step_soa(prob: BundleProblem, st: LMState, cams: CameraModel,
-                 bcfg: BundleConfig, pr: dict):
+                 bcfg: BundleConfig, pr: dict, fixed_b: bool = False):
     """One LM iteration, SoA fast path (obs table attached)."""
     chi2, ok = _resid_chi2_soa(prob, st.pose_a, st.pose_b, st.points, cams)
-    st_new, _, _ = _lm_step_soa_carried(prob, st, chi2, ok, cams, bcfg, pr)
+    st_new, _, _ = _lm_step_soa_carried(prob, st, chi2, ok, cams, bcfg, pr,
+                                        fixed_b=fixed_b)
     return st_new
 
 
 def lm_step(prob: BundleProblem, st: LMState, cams: CameraModel,
-            bcfg: BundleConfig = DEFAULT_BUNDLE):
+            bcfg: BundleConfig = DEFAULT_BUNDLE, fixed_b: bool = False):
     """One LM iteration with accept/reject.  Frozen once converged."""
     if prob.obs_idx is not None:
-        return _lm_step_soa(prob, st, cams, bcfg, _soa_prep(prob))
+        return _lm_step_soa(prob, st, cams, bcfg, _soa_prep(prob),
+                            fixed_b=fixed_b)
     e, Ja, Jb, Jl, ok = _residuals_and_jacobians(
         prob, st.pose_a, st.pose_b, st.points, cams
     )
@@ -784,14 +826,17 @@ def create_lm_state(prob: BundleProblem,
 
 
 def lm_run(prob: BundleProblem, st: LMState, cams: CameraModel,
-           n_steps: int, bcfg: BundleConfig = DEFAULT_BUNDLE) -> LMState:
+           n_steps: int, bcfg: BundleConfig = DEFAULT_BUNDLE,
+           fixed_b: bool = False) -> LMState:
     """Run up to n_steps LM iterations (jit this; host chunks calls so
     map-maker preemption can abort between chunks like the reference's
     setForceStopFlag polling, src/ChainBundle.cc:1309).
 
     SoA path: the current-estimate chi2 is computed once and carried
     through the scan, so each iteration pays one full-K residual pass
-    (the trial), not two."""
+    (the trial), not two.  fixed_b=True (static promise that every
+    pose_b is fixed — the live map-maker BA) elides the pose-b system:
+    see _solve_delta_soa."""
     if prob.obs_idx is not None:
         pr = _soa_prep(prob)
         chi2, ok = _resid_chi2_soa(prob, st.pose_a, st.pose_b,
@@ -800,7 +845,7 @@ def lm_run(prob: BundleProblem, st: LMState, cams: CameraModel,
         def body(carry, _):
             s, c2, okc = carry
             s, c2, okc = _lm_step_soa_carried(prob, s, c2, okc, cams,
-                                              bcfg, pr)
+                                              bcfg, pr, fixed_b=fixed_b)
             return (s, c2, okc), None
 
         (st, _, _), _ = jax.lax.scan(

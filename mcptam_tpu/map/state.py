@@ -160,7 +160,14 @@ def create_map_state(
         source=f(K, jnp.int32), subpix=f(K, bool),
     )
     return MapState(
-        points=points, mkfs=mkfs, meas=meas, cam_from_base=cam_from_base,
+        # own a fresh COPY of the extrinsics: MapState is donated through
+        # the fused tracker step (System._step_fn donate_argnums), and
+        # aliasing the caller's arrays would invalidate their buffers out
+        # from under them on the first processed frame
+        points=points, mkfs=mkfs, meas=meas,
+        cam_from_base=jax.tree_util.tree_map(
+            lambda a: jnp.array(a), cam_from_base
+        ),
         next_seq=jnp.zeros((), jnp.int32),
         no_retry=f((M, C, N), bool),
         retry_queue=f((M, C, N), bool),

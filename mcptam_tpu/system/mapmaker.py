@@ -80,9 +80,13 @@ class MapMaker:
     init_point_cov: float = float("inf")
 
     def __post_init__(self):
+        # fixed_b=True: problem_recent / problem_all never move the
+        # camera-from-base extrinsics (ba/adjusters.py builds them with
+        # movable_b all-False, like BundleAdjusterMulti), so the LM elides
+        # the whole pose-b system from its graph
         self._lm_run = jax.jit(
             lambda prob, st, n=self.ba_chunk: lm_run(
-                prob, st, self.cams, n, self.bcfg
+                prob, st, self.cams, n, self.bcfg, fixed_b=True
             )
         )
         self._integrate_cache = {}

@@ -23,7 +23,27 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: most of the suite's wall time is jit
 # compiles of the same tracker/mapmaker programs across test modules.
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu_tests")
+# The directory is keyed by a host-CPU fingerprint: /root is a volume
+# that can move between machines, and XLA:CPU loading an AOT result
+# compiled for another machine's feature set segfaults (observed:
+# "+prefer-no-gather is not supported on the host machine ... SIGILL",
+# then a hard crash mid-suite).
+import hashlib  # noqa: E402
+
+
+def _cpu_cache_dir() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (ln for ln in f if ln.startswith("flags")), ""
+            )
+    except OSError:
+        flags = ""
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:12]
+    return f"/root/.jax_cache_cpu_tests_{tag}"
+
+
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

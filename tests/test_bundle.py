@@ -332,6 +332,35 @@ def test_grouped_layout_matches_scatter(rng):
     )
 
 
+def test_fixed_b_path_matches_general_soa(rng):
+    """The static fixed_b fast path (pose-b system elided from the graph,
+    the production map-maker case) must reproduce the general SoA path
+    exactly on a problem whose movable_b is all-False."""
+    from mcptam_tpu.ba.bundle import attach_obs_table
+
+    prob, cams, _, _, _ = build_problem(
+        rng, n_poses=4, n_points=96, n_cams=2, noise_px=0.3,
+        movable_b=False,
+    )
+    g = attach_obs_table(prob, D=4 * 2 + 2)
+    st_gen = lm_run(g, create_lm_state(g), cams, 8)
+    st_fix = lm_run(g, create_lm_state(g), cams, 8, fixed_b=True)
+    # the two graphs drop different zero-contribution ops, so f32
+    # reduction order differs and the LM trajectory amplifies ~1e-7
+    # assembly noise over iterations (same as the scatter-vs-grouped test)
+    np.testing.assert_allclose(
+        np.asarray(st_fix.points), np.asarray(st_gen.points),
+        rtol=1e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_fix.pose_a.t), np.asarray(st_gen.pose_a.t),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_fix.pose_b.t), np.asarray(g.pose_b.t)
+    )
+
+
 def test_soa_movable_b_matches_scatter_solve(rng):
     """The SoA pose-b cross-block (Hab) and Mb assembly — exercised in
     production by the calib BA (pose_calib.py attaches an obs table with
