@@ -57,5 +57,17 @@ def rng():
     return np.random.default_rng(42)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_executables_between_modules():
+    """XLA:CPU segfaults inside backend_compile when hundreds of compiled
+    executables from earlier test modules are still live in the process
+    (observed twice on the full suite, each time at the first big compile
+    past ~40 modules; the same compiles pass in a fresh process).
+    Dropping the in-memory jit caches between modules keeps the compiler
+    healthy; the persistent disk cache makes the re-compiles cheap."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running integration test")
