@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from flax import struct
+
 from mcptam_tpu.config import LEVELS
 from mcptam_tpu.core.se3 import SE3
 from mcptam_tpu.map.keyframe import FrameFeatures
@@ -186,15 +188,30 @@ def result_to_arrays(res) -> dict:
     }
 
 
+@struct.dataclass
 class _ResultView:
-    def __init__(self, d):
-        self.sel_point = jnp.asarray(d["sel_point"])
-        self.sel_cam = jnp.asarray(d["sel_cam"])
-        self.sel_level = jnp.asarray(d["sel_level"])
-        self.sel_pos_l0 = jnp.asarray(d["sel_pos_l0"])
-        self.sel_found = jnp.asarray(d["sel_found"])
-        self.sel_outlier = jnp.asarray(d["sel_outlier"])
-        self.sel_subpix = jnp.asarray(d["sel_subpix"])
+    """The tracker-result slice an ADD carries over the wire — a pytree
+    (flax struct) because the receiving map-maker passes it straight into
+    its jitted MKF-integration program (a plain attribute-bag object
+    raised 'Error interpreting argument ... as an abstract array' inside
+    the server's spin thread and silently dropped the client's tracker
+    measurements)."""
+
+    sel_point: jnp.ndarray
+    sel_cam: jnp.ndarray
+    sel_level: jnp.ndarray
+    sel_pos_l0: jnp.ndarray
+    sel_found: jnp.ndarray
+    sel_outlier: jnp.ndarray
+    sel_subpix: jnp.ndarray
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(**{
+            f: jnp.asarray(d[f])
+            for f in ("sel_point", "sel_cam", "sel_level", "sel_pos_l0",
+                      "sel_found", "sel_outlier", "sel_subpix")
+        })
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +435,7 @@ class MapServer:
             self._send_state()
         elif action == ACTION_ADD:
             feats, pose = arrays_to_feats(d)
-            result = _ResultView(d) if "sel_point" in d else None
+            result = _ResultView.from_dict(d) if "sel_point" in d else None
             cam_active = (
                 jnp.asarray(d["cam_active"]) if "cam_active" in d else None
             )
@@ -478,5 +495,15 @@ class MapServer:
         return did_work
 
     def run(self, stop_event=None):
+        """Server loop: retry-forever semantics like the reference's
+        NetworkManager thread (src/NetworkManager.cc:266-302) — an
+        exception from one iteration is logged loudly and the loop keeps
+        serving rather than silently killing the thread."""
+        import logging
+        log = logging.getLogger(__name__)
         while stop_event is None or not stop_event.is_set():
-            self.spin_once(timeout_ms=20)
+            try:
+                self.spin_once(timeout_ms=20)
+            except Exception:
+                log.exception("MapServer loop iteration failed; continuing")
+                time.sleep(0.2)

@@ -173,6 +173,13 @@ def test_client_server_loop():
         server_ch.close()
     # the server integrated MKFs and built points
     assert int(jnp.sum(server.ms.mkfs.valid)) >= 2
+    # the client's tracker measurements crossed the wire and were recorded
+    # at integration (SRC_TRACKER=0; a non-pytree result view once made the
+    # jitted integrate reject them and the server dropped every one)
+    from mcptam_tpu.map.state import SRC_TRACKER
+    meas = server.ms.meas
+    n_tracker_meas = int(jnp.sum(meas.valid & (meas.source == SRC_TRACKER)))
+    assert n_tracker_meas > 0, "no SRC_TRACKER measurements on the server"
     assert int(jnp.sum(server.ms.points.valid)) > 100
     # operator-monitoring relay reached the server (ref SystemServer
     # mirroring the client's system_info/small_image, SystemServer.cc:113-136)
