@@ -55,35 +55,72 @@ def build_system_inputs(args):
     return cams, cam_from_base, cams_sbi, H, W, masks, names, frames
 
 
-def run_tracking_loop(system, frames, fps, out_map=None, print_every=1):
+def run_tracking_loop(system, frames, fps, out_map=None, print_every=1,
+                      batch=1):
     """Shared main loop of mcptam / mcptam_client: replay through the
-    native synced queue, track every frame set, report state."""
+    native synced queue, track every frame set, report state.
+
+    batch > 1 streams that many frames per device dispatch through
+    System.process_frames (the throughput mode; FrameInfos drain with
+    bounded lag and carry their frame_id) — pair with a System built
+    with pipeline_depth > 0 for remote-accelerator deployments."""
     import jax.numpy as jnp
     from mcptam_tpu.io.video_source import ReplaySource
+
+    def report(info):
+        if info.frame_id % print_every == 0 and not info.provisional:
+            t = info.pose[:, 3]
+            print(
+                f"frame {info.frame_id:4d}  quality={info.quality} "
+                f"lost={int(info.lost)} "
+                f"found={info.n_found:4d} points={info.n_points:5d} "
+                f"mkfs={info.n_mkfs:2d} t=[{t[0]:+.3f} {t[1]:+.3f} {t[2]:+.3f}] "
+                f"track={info.timing.total * 1e3:6.1f}ms",
+                flush=True,
+            )
 
     src = ReplaySource(frames, fps=fps)
     src.start()
     T = frames.shape[1]
-    info = None
     infos = []
+    buf = []
     for i in range(T):
         out = src.queue.get(timeout_ms=10000)
         if out is None:
             print(f"[mcptam] frame {i}: queue timeout", file=sys.stderr)
             break
         imgs, ts = out
-        info = system.process_frame(jnp.asarray(imgs, jnp.float32))
+        if batch > 1:
+            buf.append(jnp.asarray(imgs, jnp.float32))
+            if len(buf) == batch:
+                for info in system.process_frames(jnp.stack(buf)):
+                    infos.append(info)
+                    report(info)
+                buf = []
+        else:
+            info = system.process_frame(jnp.asarray(imgs, jnp.float32))
+            infos.append(info)
+            report(info)
+    # end of stream: drain the pipeline, then the partial-batch tail
+    for info in system.flush_pipeline():
         infos.append(info)
-        if i % print_every == 0:
-            t = info.pose[:, 3]
-            print(
-                f"frame {i:4d}  quality={info.quality} lost={int(info.lost)} "
-                f"found={info.n_found:4d} points={info.n_points:5d} "
-                f"mkfs={info.n_mkfs:2d} t=[{t[0]:+.3f} {t[1]:+.3f} {t[2]:+.3f}] "
-                f"track={info.timing.total * 1e3:6.1f}ms",
-                flush=True,
-            )
+        report(info)
+    for img in buf:                      # leftover tail of a partial batch
+        info = system.process_frame(img)
+        infos.append(info)
+        report(info)
+    for info in system.flush_pipeline():
+        infos.append(info)
+        report(info)
     src.queue.close()
+    if infos and any(i.frame_id >= 0 for i in infos):
+        # drained order == frame order, but drop provisional duplicates
+        # from pipeline priming and sort by frame id for the caller
+        seen = {}
+        for i in infos:
+            if not i.provisional or i.frame_id not in seen:
+                seen[i.frame_id] = i
+        infos = [seen[k] for k in sorted(seen)]
     if out_map:
         from mcptam_tpu.system.mapio import save_map
         save_map(out_map, system.ms)

@@ -29,6 +29,14 @@ def main(argv=None):
     p.add_argument("--eval-gt", default="",
                    help="ground-truth trajectory .npy ((T,3,4) or (T,6) "
                         "ln vectors); prints ATE/RPE after the run")
+    p.add_argument("--batch", type=int, default=1,
+                   help="frames per device dispatch (throughput mode; "
+                        "control actions lag by up to batch+pipeline "
+                        "frames)")
+    p.add_argument("--pipeline", type=int, default=0,
+                   help="frames kept in flight before their results are "
+                        "fetched (hides the device->host round-trip on "
+                        "remote accelerators)")
     args = p.parse_args(argv)
     ensure_jax_platform(args.platform)
 
@@ -36,13 +44,15 @@ def main(argv=None):
 
     cams, cam_from_base, cams_sbi, H, W, masks, names, frames = \
         build_system_inputs(args)
-    system = System(cams, cam_from_base, cams_sbi, H, W, masks=masks)
+    system = System(cams, cam_from_base, cams_sbi, H, W, masks=masks,
+                    pipeline_depth=args.pipeline)
     if args.load_map:
         from mcptam_tpu.system.mapio import load_map
         system.ms = load_map(args.load_map, system.ms)
         system.initialized = True
     infos = run_tracking_loop(system, frames, args.fps,
-                              out_map=args.out_map or None)
+                              out_map=args.out_map or None,
+                              batch=args.batch)
     if args.eval_gt:
         import json
         from mcptam_tpu.apps._common import load_gt_poses

@@ -150,6 +150,7 @@ class System:
         self.pipeline_depth = int(pipeline_depth)
         from collections import deque
         self._inflight = deque()
+        self._extra_drained = []   # batch infos drained via process_frame
         # batched-throughput mode (process_frames): jitted scan-over-frames
         # programs keyed by (batch size, glare flag)
         self._batch_fns = {}
@@ -257,6 +258,7 @@ class System:
         self.mapmaker.reset(self.ms)
         self.initialized = False
         self._inflight.clear()
+        self._extra_drained = []
 
     def process_frame(self, images, cam_active=None) -> FrameInfo:
         """images: (C,H,W) array-like uint8/float.
@@ -295,9 +297,18 @@ class System:
         self.frame_count += 1
 
         if self._inflight_frames() > self.pipeline_depth:
-            _, fid, sc, pfeats, pres, pcam = self._inflight.popleft()
-            info = self._drain_frame(fid, sc, pfeats, pres, pcam,
-                                     timing, sw, do_actions=True)
+            entry = self._inflight.popleft()
+            if entry[0] == "f":
+                _, fid, sc, pfeats, pres, pcam = entry
+                info = self._drain_frame(fid, sc, pfeats, pres, pcam,
+                                         timing, sw, do_actions=True)
+            else:
+                # a batch queued by process_frames drains here: act on all
+                # its frames, return the newest; the rest surface through
+                # flush_pipeline
+                infos = self._drain_batch(entry, do_actions=True)
+                self._extra_drained.extend(infos[:-1])
+                info = infos[-1]
         else:
             # pipeline priming: publish the newest frame without running
             # control actions (it runs them when it drains)
@@ -427,7 +438,8 @@ class System:
     def flush_pipeline(self):
         """Drain every in-flight frame (end of stream / before reset),
         returning their FrameInfos in order."""
-        out = []
+        out = list(self._extra_drained)
+        self._extra_drained = []
         while self._inflight:
             entry = self._inflight.popleft()
             if entry[0] == "f":
@@ -728,6 +740,7 @@ class System:
         self.done = False
         self._kf_view = 0
         self._inflight.clear()
+        self._extra_drained = []
 
     # -- GUI-command analogues (ref src/System.cc:305-405) -----------------
     def parse_line(self, line: str):

@@ -70,6 +70,26 @@ def test_mcptam_app(tmp_path, capsys):
     assert scores["ate"]["rmse"] < 0.05, scores
 
 
+@pytest.mark.slow
+def test_mcptam_app_batched_pipelined(tmp_path, capsys):
+    """The throughput deployment flags (--batch/--pipeline) track the
+    same trajectory and report every frame exactly once in order."""
+    from mcptam_tpu.apps.mcptam import main
+
+    rig, cams, cfb = _rig_json(tmp_path)
+    video, traj = _video_npz(tmp_path, cams, cfb)
+    gt = str(tmp_path / "gt.npy")
+    np.save(gt, np.stack([np.asarray(p.ln()) for p in traj]))
+    rc = main(["--rig", rig, "--video", video, "--fps", "1000",
+               "--eval-gt", gt, "--batch", "2", "--pipeline", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("[mcptam] eval ")][0]
+    scores = json.loads(line[len("[mcptam] eval "):])
+    assert scores["lost_frames"] == 0
+    assert scores["ate"]["rmse"] < 0.05, scores
+
+
 def test_rig_roundtrip(tmp_path):
     from mcptam_tpu.io.rig_config import load_rig, save_rig
 
