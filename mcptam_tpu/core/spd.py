@@ -96,6 +96,96 @@ def _spd_kernel(a_ref, b_ref, x_ref, u_ref, lt_ref, *, n_real: int):
     jax.lax.fori_loop(0, n_real, back_step, 0, unroll=False)
 
 
+def _spd_kernel_blocked(a_ref, b_ref, x_ref, u_ref, lt_ref, *, n_real: int,
+                        pb: int = 8):
+    """Blocked right-looking variant of :func:`_spd_kernel`: panels of
+    ``pb`` rows factor with cheap (pb, n) slab updates, and each panel's
+    trailing update is ONE (n, pb) x (pb, n) matmul on the MXU — the
+    serial chain shrinks from n full-matrix rank-1 updates to n cheap
+    slab steps + n/pb matmuls.  Same row-oriented masking story as the
+    simple kernel; triangular solves are blocked the same way."""
+    n = a_ref.shape[0]
+    m = b_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (pb, 1), 0)
+
+    u_ref[:] = a_ref[:]
+    nb = (n_real + pb - 1) // pb
+
+    for blk in range(nb):
+        p0 = blk * pb
+        slab = u_ref[pl.ds(p0, pb), :]                   # (pb, n)
+        for r in range(min(pb, n_real - p0)):
+            j = p0 + r
+            row = jnp.sum(jnp.where(iota_p == r, slab, 0.0), axis=0,
+                          keepdims=True)                 # (1, n)
+            d = jnp.sum(jnp.where(lane == j, row, 0.0))
+            urow = row * jax.lax.rsqrt(jnp.maximum(d, 1e-12))
+            urow = jnp.where(lane >= j, urow, 0.0)
+            slab = jnp.where(iota_p == r, urow, slab)
+            v = jnp.where(lane > j, urow, 0.0)           # (1, n)
+            vcol = v.reshape(n, 1)[p0:p0 + pb]           # (pb, 1)
+            slab = slab - jnp.where(iota_p > r, vcol, 0.0) * v
+        u_ref[pl.ds(p0, pb), :] = slab
+        # one MXU matmul updates the whole trailing block (rows and
+        # lanes > p0+pb-1 only: V is lane-masked, so V^T V vanishes
+        # elsewhere, leaving the finished panel rows untouched)
+        V = jnp.where(lane > p0 + pb - 1, slab, 0.0)     # (pb, n)
+        u_ref[:] = u_ref[:] - jax.lax.dot_general(
+            V, V, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # forward solve U^T y = b, panel-blocked
+    x_ref[:] = b_ref[:]
+    for blk in range(nb):
+        p0 = blk * pb
+        uslab = u_ref[pl.ds(p0, pb), :]                  # (pb, n)
+        xslab = x_ref[pl.ds(p0, pb), :]                  # (pb, m)
+        for r in range(min(pb, n_real - p0)):
+            j = p0 + r
+            urow = jnp.sum(jnp.where(iota_p == r, uslab, 0.0), axis=0,
+                           keepdims=True)
+            d = jnp.sum(jnp.where(lane == j, urow, 0.0))
+            yrow = jnp.sum(jnp.where(iota_p == r, xslab, 0.0), axis=0,
+                           keepdims=True) / jnp.maximum(d, 1e-12)
+            xslab = jnp.where(iota_p == r, yrow, xslab)
+            # within-panel substitution: rows r+1..pb of the slab
+            vcol = jnp.where(lane > j, urow, 0.0).reshape(n, 1)[p0:p0 + pb]
+            xslab = xslab - jnp.where(iota_p > r, vcol, 0.0) * yrow
+        x_ref[pl.ds(p0, pb), :] = xslab
+        # push the panel's contribution into all later rows at once:
+        # x[p0+pb:] -= U[p0:p0+pb, p0+pb:]^T @ y_panel
+        Vt = jnp.where(lane > p0 + pb - 1, uslab, 0.0)   # (pb, n)
+        x_ref[:] = x_ref[:] - jax.lax.dot_general(
+            Vt, xslab, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # back solve U x = y, panel-blocked from the bottom
+    lt_ref[:] = u_ref[:].T
+    for blk in range(nb - 1, -1, -1):
+        p0 = blk * pb
+        lslab = lt_ref[pl.ds(p0, pb), :]                 # (pb, n) rows of U^T
+        xslab = x_ref[pl.ds(p0, pb), :]
+        for r in range(min(pb, n_real - p0) - 1, -1, -1):
+            j = p0 + r
+            lrow = jnp.sum(jnp.where(iota_p == r, lslab, 0.0), axis=0,
+                           keepdims=True)
+            d = jnp.sum(jnp.where(lane == j, lrow, 0.0))
+            xrow = jnp.sum(jnp.where(iota_p == r, xslab, 0.0), axis=0,
+                           keepdims=True) / jnp.maximum(d, 1e-12)
+            xslab = jnp.where(iota_p == r, xrow, xslab)
+            vcol = jnp.where(lane < j, lrow, 0.0).reshape(n, 1)[p0:p0 + pb]
+            xslab = xslab - jnp.where(iota_p < r, vcol, 0.0) * xrow
+        x_ref[pl.ds(p0, pb), :] = xslab
+        Vt = jnp.where(lane < p0, lslab, 0.0)            # (pb, n)
+        x_ref[:] = x_ref[:] - jax.lax.dot_general(
+            Vt, xslab, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _spd_solve_pallas(A: jnp.ndarray, B: jnp.ndarray, interpret: bool = False):
     n = A.shape[0]
@@ -110,7 +200,7 @@ def _spd_solve_pallas(A: jnp.ndarray, B: jnp.ndarray, interpret: bool = False):
         B.astype(jnp.float32)
     )
     X = pl.pallas_call(
-        functools.partial(_spd_kernel, n_real=n),
+        functools.partial(_spd_kernel_blocked, n_real=n),
         out_shape=jax.ShapeDtypeStruct((npad, mpad), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
