@@ -50,10 +50,15 @@ def main(argv=None):
     p.add_argument("--square-size", type=float, default=0.04)
     p.add_argument("--out", default="", help="output camera JSON")
     p.add_argument("--name", default="camera1")
+    p.add_argument("--drop-worst", type=int, default=0,
+                   help="review loop: after a first optimization, discard "
+                        "the N views with the worst reprojection RMS and "
+                        "re-optimize (the reference operator's grabbed-"
+                        "frame review/discard, CameraCalibrator::Run)")
     args = p.parse_args(argv)
     ensure_jax_platform(args.platform)
 
-    from mcptam_tpu.calib.intrinsic import calibrate_camera
+    from mcptam_tpu.calib.intrinsic import calibrate_camera_reviewed
     from mcptam_tpu.io.rig_config import save_rig
 
     images = np.load(args.images)
@@ -71,8 +76,13 @@ def main(argv=None):
         print("not enough usable views (need >= 3)")
         return 1
 
-    params9, rms = calibrate_camera(grids_uv, grids_board, (W, H))
-    print(f"calibrated from {len(grids_uv)} views; RMS = {rms:.3f} px "
+    params9, rms, pv, kept = calibrate_camera_reviewed(
+        grids_uv, grids_board, (W, H), drop_worst=args.drop_worst,
+    )
+    for i, e in enumerate(pv):
+        tag = "dropped" if i not in kept else f"{e:6.3f} px"
+        print(f"view rms {i:3d}: {tag}")
+    print(f"calibrated from {len(kept)} views; RMS = {rms:.3f} px "
           f"({'OK' if rms < 0.5 else 'POOR — re-capture views'})")
     print("params9 =", np.array2string(np.asarray(params9), precision=6))
     if args.out:

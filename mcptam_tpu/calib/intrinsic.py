@@ -308,8 +308,9 @@ def refine_lm(params9, poses, grids_uv, grids_board, image_size,
 
 
 def calibrate_camera(grids_uv, grids_board, image_size, verbose=False,
-                     backend: str = "tpu"):
-    """End-to-end intrinsic calibration.  Returns (params9, rms_px).
+                     backend: str = "tpu", full_output: bool = False):
+    """End-to-end intrinsic calibration.  Returns (params9, rms_px), or
+    (params9, rms_px, poses) with full_output=True.
 
     backend="tpu" (default) runs the batched Schur-eliminated LM on device
     (calib.intrinsic_tpu — the reference's OptimizeOneStepLM elimination
@@ -327,4 +328,58 @@ def calibrate_camera(grids_uv, grids_board, image_size, verbose=False,
             params9, poses, grids_uv, grids_board, image_size,
             verbose=verbose,
         )
+    if full_output:
+        return params9, rms, poses
     return params9, rms
+
+
+def per_view_rms(params9, poses, grids_uv, grids_board, image_size):
+    """Per-view reprojection RMS in px at the given solution — the review
+    metric behind the reference calibrator's grabbed-frame review loop
+    (the operator watches each grab's residuals and discards bad boards
+    before optimizing, CameraCalibrator::Run,
+    src/CameraCalibrator.cc:128-244)."""
+    W, H = image_size
+    max_rho = float(np.hypot(W, H))
+    out = []
+    for (R, t), uv_img, P2 in zip(poses, grids_uv, grids_board):
+        P2 = np.asarray(P2)[:, :2]
+        P = np.concatenate([P2, np.zeros((len(P2), 1))], axis=1)
+        pc = _se3_apply((np.asarray(R), np.asarray(t)), P)
+        uv, ok = project_calib(params9, pc, max_rho)
+        r = uv - np.asarray(uv_img, np.float64)
+        r[~ok] = 25.0
+        out.append(float(np.sqrt(np.mean(np.sum(r * r, axis=1)))))
+    return np.asarray(out)
+
+
+def calibrate_camera_reviewed(grids_uv, grids_board, image_size,
+                              drop_worst: int = 0, verbose=False,
+                              backend: str = "tpu"):
+    """Calibrate, review per-view residuals, optionally discard the worst
+    views and re-optimize — the headless analogue of the reference
+    calibrator's grab/review/discard loop.  Returns
+    (params9, rms, per_view, kept_indices)."""
+    params9, rms, poses = calibrate_camera(
+        grids_uv, grids_board, image_size, verbose=verbose,
+        backend=backend, full_output=True,
+    )
+    pv = per_view_rms(params9, poses, grids_uv, grids_board, image_size)
+    kept = list(range(len(grids_uv)))
+    n_drop = min(int(drop_worst), max(len(grids_uv) - 3, 0))
+    if n_drop > 0:
+        order = np.argsort(pv)[::-1]
+        dropped = set(int(i) for i in order[:n_drop])
+        kept = [i for i in kept if i not in dropped]
+        params9, rms, poses = calibrate_camera(
+            [grids_uv[i] for i in kept], [grids_board[i] for i in kept],
+            image_size, verbose=verbose, backend=backend, full_output=True,
+        )
+        pv_kept = per_view_rms(
+            params9, poses, [grids_uv[i] for i in kept],
+            [grids_board[i] for i in kept], image_size,
+        )
+        pv = np.full(len(grids_uv), np.nan)
+        for k, i in enumerate(kept):
+            pv[i] = pv_kept[k]
+    return params9, rms, pv, kept

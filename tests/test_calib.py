@@ -158,6 +158,36 @@ def test_intrinsic_tpu_matches_numpy_oracle(views):
     assert d.max() < 0.75, d.max()
 
 
+def test_review_loop_discards_corrupted_view(views):
+    """The grabbed-frame review loop (per-view RMS + drop-worst +
+    re-optimize; the reference operator's review in
+    CameraCalibrator::Run, src/CameraCalibrator.cc:128-244) must finger a
+    planted bad view and recover the clean solution without it."""
+    from mcptam_tpu.calib.intrinsic import calibrate_camera_reviewed
+
+    grids_uv, grids_board = _grids_for_calib(views)
+    assert len(grids_uv) >= 4
+    bad = 1
+    rng = np.random.default_rng(5)
+    grids_uv = [np.asarray(g, np.float64).copy() for g in grids_uv]
+    # a mildly bad grab (0.8 px detection noise): degrades the shared
+    # intrinsics but leaves the solve coherent enough that per-view RMS
+    # isolates the culprit — like a real slightly-blurred board view
+    grids_uv[bad] += rng.normal(size=grids_uv[bad].shape) * 0.8
+
+    p0, rms0, pv0, kept0 = calibrate_camera_reviewed(
+        grids_uv, grids_board, (W, H), drop_worst=0
+    )
+    assert int(np.argmax(pv0)) == bad, pv0
+    p1, rms1, pv1, kept1 = calibrate_camera_reviewed(
+        grids_uv, grids_board, (W, H), drop_worst=1
+    )
+    assert bad not in kept1
+    assert np.isnan(pv1[bad])
+    assert rms1 < rms0
+    assert rms1 < 0.5, rms1
+
+
 def test_intrinsic_calibration(views):
     grids_uv, grids_board = _grids_for_calib(views)
     assert len(grids_uv) >= 4, len(grids_uv)
