@@ -391,6 +391,10 @@ def main():
         RESULTS["reproj_delta"] = reproj_delta
     except _Deadline:
         log("deadline hit; emitting partial results")
+    except Exception:
+        import traceback
+        traceback.print_exc()
+        log("bench stage failed; emitting whatever was measured")
     finally:
         signal.alarm(0)
         emit()

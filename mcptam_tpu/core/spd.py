@@ -186,8 +186,9 @@ def _spd_kernel_blocked(a_ref, b_ref, x_ref, u_ref, lt_ref, *, n_real: int,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _spd_solve_pallas(A: jnp.ndarray, B: jnp.ndarray, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "blocked"))
+def _spd_solve_pallas(A: jnp.ndarray, B: jnp.ndarray, interpret: bool = False,
+                      blocked: bool | None = None):
     n = A.shape[0]
     m = B.shape[1]
     npad = _round_up(max(n, 8), 128)
@@ -199,8 +200,14 @@ def _spd_solve_pallas(A: jnp.ndarray, B: jnp.ndarray, interpret: bool = False):
     Bp = jnp.zeros((npad, mpad), jnp.float32).at[:n, :m].set(
         B.astype(jnp.float32)
     )
+    if blocked is None:
+        # default stays on the hardware-validated simple kernel until the
+        # blocked one is measured on a real chip (flip via env)
+        import os
+        blocked = os.environ.get("MCPTAM_SPD_KERNEL", "simple") == "blocked"
+    kern = _spd_kernel_blocked if blocked else _spd_kernel
     X = pl.pallas_call(
-        functools.partial(_spd_kernel_blocked, n_real=n),
+        functools.partial(kern, n_real=n),
         out_shape=jax.ShapeDtypeStruct((npad, mpad), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -35,19 +35,21 @@ def test_inv2_matches_linalg(rng):
     )
 
 
+@pytest.mark.parametrize("blocked", [False, True])
 @pytest.mark.parametrize("n,m", [(6, 1), (30, 6), (128, 3), (130, 2)])
-def test_pallas_spd_solve_interpreted(rng, n, m):
-    """The in-VMEM Pallas Cholesky — the production reduced-system solver
-    on TPU — checked on CPU via interpret mode against jnp.linalg.solve
-    (spd_solve routes around the kernel on the CPU backend, so without
-    this the kernel ships untested off-hardware).  Sizes straddle the
-    128-lane padding boundary."""
+def test_pallas_spd_solve_interpreted(rng, n, m, blocked):
+    """Both in-VMEM Pallas Cholesky kernels — the production reduced-
+    system solvers on TPU — checked on CPU via interpret mode against
+    jnp.linalg.solve (spd_solve routes around the kernel on the CPU
+    backend, so without this the kernels ship untested off-hardware).
+    Sizes straddle the 128-lane padding boundary and the blocked
+    kernel's 8-row panels."""
     from mcptam_tpu.core.spd import _spd_solve_pallas
 
     A = rng.standard_normal((n, n))
     A = (A @ A.T / n + np.eye(n)).astype(np.float32)
     B = rng.standard_normal((n, m)).astype(np.float32)
     X = np.asarray(_spd_solve_pallas(jnp.asarray(A), jnp.asarray(B),
-                                     interpret=True))
+                                     interpret=True, blocked=blocked))
     X_ref = np.linalg.solve(A, B)
     np.testing.assert_allclose(X, X_ref, rtol=2e-3, atol=2e-4)
