@@ -60,38 +60,80 @@ def log(msg):
           file=sys.stderr, flush=True)
 
 
+SCENE_CACHE = "/root/.mcptam_bench_scene_v1.npz"
+
+
 def build_scene_on_cpu(H, W, C, max_points, max_mkfs, max_meas,
                        n_per_level=60):
     """Construct the rig, ground-truth map and frame set on the host CPU
     backend (fast local compiles, no tunnel chatter), then transfer to the
-    default (TPU) device in one hop."""
+    default (TPU) device in one hop.  The result is pure data, so it is
+    cached on disk keyed by the scene parameters — a warm cache saves the
+    ~60 s of host-CPU compiles each bench invocation would otherwise
+    re-pay."""
     import jax
     import jax.numpy as jnp
     from mcptam_tpu.core.se3 import SE3
     from mcptam_tpu.io.synthetic import (
         make_rig, make_sbi_cams, render_rig, build_groundtruth_map,
     )
+    from mcptam_tpu.map.state import create_map_state
+    from mcptam_tpu.system.mapio import save_map, load_map
 
+    key = np.asarray([1, H, W, C, max_points, max_mkfs, max_meas,
+                      n_per_level])
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         cams, cam_from_base = make_rig(C, H, W, spread_deg=25.0)
         cams_sbi = make_sbi_cams(cams, H, W)
-        ms, _ = build_groundtruth_map(
-            cams, cam_from_base, H, W, n_per_level=n_per_level,
-            max_points=max_points, max_mkfs=max_mkfs, max_meas=max_meas,
-        )
-        poses, frames = [], []
-        for i in range(8):
-            v = jnp.asarray([
-                0.012 * (i % 4), -0.006 * (i % 3), 0.008 * (i % 4),
-                0.002 * (i % 3), -0.0015 * (i % 2), 0.001 * (i % 4),
-            ])
-            poses.append(SE3.exp(v))
-            frames.append(jnp.clip(
-                jnp.asarray(render_rig(cams, cam_from_base, SE3.exp(v),
-                                       3.0, H, W)),
-                0, 255,
-            ).astype(jnp.uint8))
+        ms = frames_np = poses_np = None
+        if os.path.exists(SCENE_CACHE):
+            try:
+                template = create_map_state(
+                    H, W, C, cam_from_base, max_points, max_mkfs, max_meas
+                )
+                cand, extras = load_map(SCENE_CACHE, template,
+                                        with_extras=True)
+                if np.array_equal(np.asarray(extras["key"]), key):
+                    ms = cand
+                    frames_np = np.asarray(extras["frames"])
+                    poses_np = (np.asarray(extras["poses_R"]),
+                                np.asarray(extras["poses_t"]))
+                    log("scene loaded from cache")
+            except Exception:
+                ms = None
+        if ms is None:
+            ms, _ = build_groundtruth_map(
+                cams, cam_from_base, H, W, n_per_level=n_per_level,
+                max_points=max_points, max_mkfs=max_mkfs, max_meas=max_meas,
+            )
+            poses_l, frames_l = [], []
+            for i in range(8):
+                v = jnp.asarray([
+                    0.012 * (i % 4), -0.006 * (i % 3), 0.008 * (i % 4),
+                    0.002 * (i % 3), -0.0015 * (i % 2), 0.001 * (i % 4),
+                ])
+                poses_l.append(SE3.exp(v))
+                frames_l.append(np.asarray(jnp.clip(
+                    jnp.asarray(render_rig(cams, cam_from_base, SE3.exp(v),
+                                           3.0, H, W)),
+                    0, 255,
+                ).astype(jnp.uint8)))
+            frames_np = np.stack(frames_l)
+            poses_np = (np.stack([np.asarray(p.R) for p in poses_l]),
+                        np.stack([np.asarray(p.t) for p in poses_l]))
+            try:
+                save_map(SCENE_CACHE, ms, extras={
+                    "key": key, "frames": frames_np,
+                    "poses_R": poses_np[0], "poses_t": poses_np[1],
+                })
+            except Exception:
+                pass
+        poses = [SE3(R=jnp.asarray(poses_np[0][i]),
+                     t=jnp.asarray(poses_np[1][i]))
+                 for i in range(poses_np[0].shape[0])]
+        frames = [jnp.asarray(frames_np[i])
+                  for i in range(frames_np.shape[0])]
     dev = jax.devices()[0]
     put = lambda t: jax.device_put(t, dev)
     return (put(cams), put(cam_from_base), put(cams_sbi), put(ms),
