@@ -124,11 +124,18 @@ class MapMaker:
         self._any_retry_fn = jax.jit(lambda ms: jnp.any(ms.retry_queue))
         self._count_mkfs_fn = jax.jit(count_mkfs)
         self._count_points_fn = jax.jit(count_points)
-        self._refind_fn = jax.jit(
-            lambda ms: refind_in_keyframes(ms, cams)
+        # ONE compiled program serves both refind sweeps: the general
+        # sweep's pair_mask=None is definitionally an all-true mask, so
+        # passing the mask explicitly halves the refind compile bill
+        # (~15-30 s per fresh process on the tunnel)
+        self._refind_masked_fn = jax.jit(
+            lambda ms, pm: refind_in_keyframes(ms, cams, pair_mask=pm)
         )
-        self._refind_retry_fn = jax.jit(
-            lambda ms: refind_in_keyframes(ms, cams, pair_mask=ms.retry_queue)
+        self._refind_fn = lambda ms: self._refind_masked_fn(
+            ms, jnp.broadcast_to(jnp.ones((), bool), ms.retry_queue.shape)
+        )
+        self._refind_retry_fn = lambda ms: self._refind_masked_fn(
+            ms, ms.retry_queue
         )
         self._depth_cov_fn = jax.jit(
             lambda prob, st: point_depth_covariance(prob, st, cams)[0]
