@@ -150,7 +150,9 @@ def assemble_grid(xy: np.ndarray, valid: np.ndarray,
     ax_u = dirs[0]
     best = None
     for d in dirs[1:]:
-        c = abs(np.cross(ax_u, d)) / (np.linalg.norm(ax_u) * np.linalg.norm(d) + 1e-9)
+        # explicit 2D cross product (np.cross on 2-vectors is deprecated)
+        c = abs(ax_u[0] * d[1] - ax_u[1] * d[0]) \
+            / (np.linalg.norm(ax_u) * np.linalg.norm(d) + 1e-9)
         if c > 0.7:
             best = d
             break

@@ -344,8 +344,10 @@ class MapMakerClient:
         self.channel.send(ACTION_MONITOR, d)
 
     def _apply_state(self, d):
-        self.state = int(d["state"])
-        self.init_point_cov = float(d["init_cov"])
+        # codec scalars arrive as shape-(1,) arrays; index before casting
+        # (ndim>0 -> scalar conversion is a hard error in future numpy)
+        self.state = int(np.asarray(d["state"]).ravel()[0])
+        self.init_point_cov = float(np.asarray(d["init_cov"]).ravel()[0])
 
     def step(self, ms: MapState, budget_s: float | None = None) -> MapState:
         # budget_s is accepted for API parity with MapMaker.step (System.

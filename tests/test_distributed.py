@@ -106,7 +106,7 @@ def test_monitor_relay_fast():
                 break
         assert server.monitor_count == 1
         mon = server.client_monitor
-        assert int(mon["n_found"]) == 123
+        assert int(np.asarray(mon["n_found"]).ravel()[0]) == 123
         assert mon["small_image"].shape == (6, 8, 3)
         assert not bool(np.asarray(mon["lost"]).reshape(()))
     finally:

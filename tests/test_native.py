@@ -24,7 +24,7 @@ def test_codec_roundtrip(rng):
         assert np.array_equal(out[k], v), k
     # 0-d scalars round-trip as shape-(1,) arrays (int()-compatible)
     s = unpack_arrays(pack_arrays({"s": np.asarray(3, np.int64)}))["s"]
-    assert int(s) == 3
+    assert int(s.ravel()[0]) == 3
 
 
 def test_codec_jpeg_planes(rng):
