@@ -8,9 +8,12 @@ realistically populated map with local+global BA converging during the
 timed trajectory.  vs_baseline is against the 200 FPS rebuild target
 (BASELINE.json north_star).
 
-Structure (all stages run against a hard wall-clock deadline so the
-driver's bench timeout can never kill the process before the JSON line is
-printed — round 3 shipped rc=124 and no number):
+Structure — a supervisor process (no jax, cannot hang) probes the device
+tunnel in killable subprocesses, then runs the measurement in a child
+whose watchdog thread guarantees the JSON line under a hard wall-clock
+deadline.  Round 3 shipped rc=124 and no number because the tunnel was
+down and axon backend init blocks forever in a C reconnect loop that
+neither SIGALRM nor the driver's SIGTERM can unwind.  Inside the child:
 
   * synthetic scene/map construction runs on the HOST CPU backend and is
     device_put once — building it op-by-op on a tunneled TPU cost 6
@@ -41,12 +44,14 @@ The `extra` field carries the rest of the BASELINE.json metric set:
 import json
 import os
 import signal
+import subprocess
+import sys
 import threading
 import time
 
 import numpy as np
 
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "600"))
 _T0 = time.monotonic()
 RESULTS = {}
 _EMIT_LOCK = threading.Lock()
@@ -396,7 +401,7 @@ def emit():
     value = round(e2e_fps, 2) if (e2e_fps and quality_ok) else 0.0
     lm = RESULTS.get("lm", {})
     rd = RESULTS.get("reproj_delta")
-    print(json.dumps({
+    line = json.dumps({
         "metric": "tracking_fps_4cam_vga_e2e",
         "value": value,
         "unit": "fps",
@@ -416,7 +421,15 @@ def emit():
             "quality_ok": bool(quality_ok),
             "bench_seconds": round(time.monotonic() - _T0, 1),
         },
-    }), flush=True)
+    })
+    print(line, flush=True)
+    rf = os.environ.get("BENCH_RESULT_FILE")
+    if rf:
+        try:
+            with open(rf, "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
 
 
 class _Deadline(Exception):
@@ -441,14 +454,22 @@ def _watchdog():
     os._exit(0)
 
 
-def main():
-    # hard stop: whatever happens, the JSON line is printed before the
-    # driver's bench timeout can kill the process
+def _child_main():
+    """One measurement attempt (runs jax; may hang on a dead tunnel —
+    the watchdog thread guarantees the JSON line regardless)."""
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(max(int(BUDGET_S) + 20, 30))
-    wd = threading.Timer(max(BUDGET_S + 60.0, 90.0), _watchdog)
+    wd = threading.Timer(max(BUDGET_S + 45.0, 75.0), _watchdog)
     wd.daemon = True
     wd.start()
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # an explicit CPU request (validation runs) needs the config
+        # API: the axon sitecustomize's register() overwrites
+        # jax_platforms with "axon,cpu" at interpreter start, and
+        # backends() then initializes the axon client — which blocks
+        # forever when the device tunnel is down
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     try:
         e2e_fps, jit_fps, mean_found, max_err = bench_e2e()
         RESULTS.update(e2e_fps=e2e_fps, jit_fps=jit_fps,
@@ -465,6 +486,75 @@ def main():
     finally:
         signal.alarm(0)
         wd.cancel()
+        emit()
+
+
+_PROBE = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+          "(x @ x).block_until_ready(); print('BENCH_PROBE_OK')")
+
+
+def _tunnel_ok(timeout: float = 75.0) -> bool:
+    """Device health check in a KILLABLE subprocess: axon backend init
+    blocks forever (C-level reconnect loop, EINTR swallowed) when the
+    TPU tunnel is down, so the probe must be a process we can time out,
+    never a call in this process."""
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE],
+                           timeout=timeout, capture_output=True, text=True)
+        return "BENCH_PROBE_OK" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def main():
+    """Supervisor: never imports jax (so it can never hang on the
+    tunnel); waits for the device to answer, runs the measurement in a
+    child process, and guarantees exactly one JSON line reaches stdout
+    before the driver's bench timeout (round 3 shipped rc=124 and no
+    number because a dead tunnel parked the old single-process bench
+    inside axon backend init)."""
+    if os.environ.get("BENCH_CHILD") == "1":
+        _child_main()
+        return
+    result_file = f"/tmp/bench_result_{os.getpid()}.json"
+    try:
+        os.remove(result_file)
+    except OSError:
+        pass
+    env = dict(os.environ, BENCH_CHILD="1", BENCH_RESULT_FILE=result_file)
+
+    # the tunnel is restored by an external daemon on its own schedule;
+    # waiting for it beats burning the whole budget inside a hung init
+    if env.get("JAX_PLATFORMS", "").strip() != "cpu":
+        while remaining() > 240 and not _tunnel_ok():
+            log("device tunnel unresponsive; waiting for it to heal")
+            time.sleep(10)
+
+    printed_any = False
+    while remaining() > 150:
+        env["BENCH_BUDGET_S"] = str(int(max(remaining() - 60, 60)))
+        log(f"starting bench child (budget {env['BENCH_BUDGET_S']}s)")
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                             env=env)
+        try:
+            with open(result_file) as f:
+                res = json.loads(f.read())
+            os.remove(result_file)
+        except (OSError, ValueError):
+            res = None
+        if res is not None:
+            printed_any = True   # the child printed its line on our stdout
+            if res.get("value", 0.0) > 0.0:
+                return
+            # a zero result from an early crash is worth one more try
+            # (the driver parses the LAST line); a zero from a genuine
+            # quality collapse just re-measures to the same answer
+            log(f"bench child produced a zero result (rc={rc}); "
+                f"retrying if budget remains")
+        else:
+            log(f"bench child exited rc={rc} without a result; retrying")
+    if not printed_any:
+        log("budget exhausted with no child result; emitting zero line")
         emit()
 
 
