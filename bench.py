@@ -316,15 +316,17 @@ def bench_lm(chunks: int = 6, chunk: int = 10):
     out = {}
     compiled = {}
 
-    def get_run(prob_t, cams):
+    def get_run(prob_t):
         key = (prob_t.points.shape, prob_t.m_valid.shape,
                prob_t.obs_idx.shape, prob_t.pose_a.t.shape,
                prob_t.pose_b.t.shape)
         if key not in compiled:
             # bench problems fix the extrinsics (movable_b all-False,
-            # like the production map-maker BA) -> static fixed_b path
+            # like the production map-maker BA) -> static fixed_b path;
+            # cams is a runtime ARGUMENT so a shape-cache hit cannot
+            # silently reuse another case's camera models
             compiled[key] = jax.jit(
-                lambda p, s: lm_run(p, s, cams, chunk, fixed_b=True))
+                lambda p, s, c: lm_run(p, s, c, chunk, fixed_b=True))
         return compiled[key]
 
     fid_err = None
@@ -343,14 +345,14 @@ def bench_lm(chunks: int = 6, chunk: int = 10):
             f"bench_lm[{name}]: obs table D={D} dropped {n_drop} "
             f"measurements (max per-point count {dmax})"
         )
-        run = get_run(prob_t, cams)
+        run = get_run(prob_t)
         st = create_lm_state(prob_t)
-        st = run(prob_t, st)              # compile
+        st = run(prob_t, st, cams)        # compile
         st.cost.block_until_ready()
         st = create_lm_state(prob_t)
         t0 = time.perf_counter()
         for _ in range(chunks):
-            st = run(prob_t, st)
+            st = run(prob_t, st, cams)
         st.cost.block_until_ready()
         dt = time.perf_counter() - t0
         out[name] = chunks * chunk / dt
@@ -365,9 +367,9 @@ def bench_lm(chunks: int = 6, chunk: int = 10):
                                  sparse_k=8192, noise=0.0)
             probf_t = attach_obs_table(probf, D)
             stf = create_lm_state(probf_t)
-            runf = get_run(probf_t, camsf)
-            for _ in range(10):           # 100 iterations (sparse graph:
-                stf = runf(probf_t, stf)  # ~4 obs/point converges slowly)
+            runf = get_run(probf_t)
+            for _ in range(10):                  # 100 iterations (sparse
+                stf = runf(probf_t, stf, camsf)  # graph converges slowly)
             # score on the host CPU backend (eager residuals on a
             # tunneled chip cost one round-trip per primitive)
             cpu = jax.devices("cpu")[0]

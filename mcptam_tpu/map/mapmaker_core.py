@@ -82,18 +82,27 @@ def _epi_pass(ms, cams, mkf_idx, feats, levels, region: str, cam_active,
     candidates, pick the closest target KF in `region`, epipolar-create.
     Returns (ms, n_created_total).
 
-    All CAMERA blocks of a level are STACKED into one thin + one
-    create_epipolar_points call with per-row cam/target parameters: a
-    per-(level, cam) loop instantiated the full epipolar machinery
-    levels x cams times inside one jitted program, which alone cost ~4
-    minutes of XLA compile for a 4-camera rig.  Levels stay SEQUENTIAL —
-    thinning consults only same-camera measurements at the candidate's
-    level or one above (ThinCandidates, ref :411-447), so camera blocks
-    never interact within a level and this batching is exactly the
-    reference's creation order, at C-fold fewer graph instantiations."""
+    For region="other", all CAMERA blocks of a level are STACKED into one
+    thin + one create_epipolar_points call with per-row cam/target
+    parameters: a per-(level, cam) loop instantiated the full epipolar
+    machinery levels x cams times inside one jitted program, which alone
+    cost ~4 minutes of XLA compile for a 4-camera rig.  Levels stay
+    SEQUENTIAL, and thinning consults only same-camera measurements of
+    the source KF at the candidate's level or one above (ThinCandidates,
+    ref :411-447) — "other" creations touch only (new KF, same cam) and a
+    different MKF's KFs, so camera blocks never interact within a level
+    and the batching preserves the reference's creation order.
+
+    For region="self" the TARGET is a sibling camera of the same MKF:
+    camera c's match lands a measurement in camera c' of this very MKF,
+    and the reference's sequential loop thins c''s candidates against it.
+    Cameras therefore run as a lax.scan (ONE trace per level, carried
+    MapState, reference creation order) instead of one stacked call —
+    same instantiation count, sequential execution only here."""
     C = ms.cam_from_base.t.shape[0]
     made_total = jnp.zeros((), jnp.int32)
     tgts = [closest_kf(ms, mkf_idx, c, region) for c in range(C)]
+    nh = mcfg.epi_max_hypotheses
     for level in levels:
         xs, wants, camv, tmv, tcv = [], [], [], [], []
         for c in range(C):
@@ -109,6 +118,26 @@ def _epi_pass(ms, cams, mkf_idx, feats, levels, region: str, cam_active,
             camv.append(jnp.full((Q,), c, jnp.int32))
             tmv.append(jnp.broadcast_to(tgt_m, (Q,)))
             tcv.append(jnp.broadcast_to(tgt_c, (Q,)))
+        if region == "self":
+            def _cam_body(ms, blk, level=level):
+                xy, want, camr, tm, tc = blk
+                lvlv = jnp.full(xy.shape[:1], level, jnp.int32)
+                want = thin_candidates(ms, mkf_idx, camr, lvlv, xy, want,
+                                       mcfg.thin_radius)
+                ms, made = create_epipolar_points(
+                    ms, cams,
+                    src_mkf=jnp.broadcast_to(mkf_idx, xy.shape[:1]),
+                    src_cam=camr, tgt_mkf=tm, tgt_cam=tc,
+                    level=lvlv, xy_level=xy, want=want, n_hypotheses=nh,
+                )
+                return ms, jnp.sum(made)
+            ms, mades = jax.lax.scan(
+                _cam_body, ms,
+                (jnp.stack(xs), jnp.stack(wants), jnp.stack(camv),
+                 jnp.stack(tmv), jnp.stack(tcv)),
+            )
+            made_total = made_total + jnp.sum(mades)
+            continue
         xy = jnp.concatenate(xs)
         want = jnp.concatenate(wants)
         camv = jnp.concatenate(camv)
@@ -125,7 +154,7 @@ def _epi_pass(ms, cams, mkf_idx, feats, levels, region: str, cam_active,
             level=lvlv,
             xy_level=xy,
             want=want,
-            n_hypotheses=mcfg.epi_max_hypotheses,
+            n_hypotheses=nh,
         )
         made_total = made_total + jnp.sum(made)
     return ms, made_total
@@ -156,6 +185,11 @@ def init_from_mkf(ms: MapState, cams: CameraModel, feats: FrameFeatures,
             lvl_arr = jnp.full((Q,), level, jnp.int32)
             if C > 1:
                 tgt = (c + 1) % C
+                # sequential loop: thinning sees measurements created
+                # into camera c by earlier cameras of this same init
+                # (ThinCandidates inside AddPointEpipolar, ref :411-447)
+                want = thin_candidates(ms, mkf_idx, cam_arr, lvl_arr, xy,
+                                       want, mcfg.thin_radius)
                 ms, made = create_epipolar_points(
                     ms, cams,
                     src_mkf=jnp.broadcast_to(mkf_idx, (Q,)),

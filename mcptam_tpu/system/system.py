@@ -296,6 +296,7 @@ class System:
                                cam_active))
         self.frame_count += 1
 
+        added_any = False
         if self._inflight_frames() > self.pipeline_depth:
             entry = self._inflight.popleft()
             if entry[0] == "f":
@@ -305,10 +306,11 @@ class System:
             else:
                 # a batch queued by process_frames drains here: act on all
                 # its frames, return the newest; the rest surface through
-                # flush_pipeline
+                # the next process_frames call or flush_pipeline
                 infos = self._drain_batch(entry, do_actions=True)
                 self._extra_drained.extend(infos[:-1])
                 info = infos[-1]
+                added_any = any(i.added_mkf for i in infos)
         else:
             # pipeline priming: publish the newest frame without running
             # control actions (it runs them when it drains)
@@ -324,7 +326,7 @@ class System:
         self.ms = self.mapmaker.step(
             self.ms, budget_s=budget * 1e-3 if budget > 0 else None
         )
-        if info.added_mkf:
+        if info.added_mkf or added_any:
             self.mapmaker.on_map_changed()
         # repeated BA failure -> full reset with pose carry-over
         # (ref RequestResetInternal -> reset service, srv/Reset.srv); dump
@@ -360,6 +362,22 @@ class System:
                       jnp.stack(qd), jnp.stack(qv))
         return qposes
 
+    def _newer_frame_recovered(self) -> bool:
+        """True when any newer in-flight frame whose packed scalars have
+        ALREADY landed reports not-lost.  A draining frame's lost flag is
+        pipeline_depth frames stale; relocalizing on it would overwrite a
+        pose the tracker has since recovered on its own (lost_count
+        decrements on good frames, ref src/Tracker.cc:509-515).  Only
+        landed transfers are inspected — this never blocks the pipeline."""
+        for e in self._inflight:
+            sc = e[2]
+            ready = sc.is_ready() if hasattr(sc, "is_ready") else True
+            if ready:
+                lost = np.asarray(sc)[..., 0]
+                if bool(np.any(lost < 0.5)):
+                    return True
+        return False
+
     def _drain_frame(self, fid, scalars, feats, res, cam_active,
                      timing, sw, do_actions: bool) -> FrameInfo:
         """Unpack one frame's packed scalars (a single device->host
@@ -377,7 +395,7 @@ class System:
         relocalized = False
         added = False
         if do_actions:
-            if lost:
+            if lost and not self._newer_frame_recovered():
                 pose, ok, score = self._reloc_fn(self.ms, feats, cam_active)
                 if bool(ok):
                     self.ts = self.ts.replace(
@@ -437,7 +455,10 @@ class System:
 
     def flush_pipeline(self):
         """Drain every in-flight frame (end of stream / before reset),
-        returning their FrameInfos in order."""
+        returning their FrameInfos in order.  Keyframes added by the
+        flushed frames are integrated before returning — the synchronous
+        path integrates adds via the per-frame map-maker tick, and a map
+        saved right after the flush must not be missing its last MKF."""
         out = list(self._extra_drained)
         self._extra_drained = []
         while self._inflight:
@@ -449,6 +470,10 @@ class System:
                     Stopwatch(), do_actions=True))
             else:
                 out.extend(self._drain_batch(entry, do_actions=True))
+        if any(i.added_mkf for i in out):
+            self.mapmaker.on_map_changed()
+        while self.mapmaker.queue:
+            self.ms = self.mapmaker.step(self.ms)
         return out
 
     def _inflight_frames(self) -> int:
@@ -519,7 +544,10 @@ class System:
                                cam_active))
         self.frame_count += B
 
-        out = []
+        # frames a process_frame call drained from a batch entry surface
+        # here, keeping the caller's FrameInfo stream ordered
+        out = list(self._extra_drained)
+        self._extra_drained = []
         while self._inflight and self._inflight_frames() > self.pipeline_depth:
             entry = self._inflight.popleft()
             if entry[0] == "f":
@@ -577,7 +605,7 @@ class System:
             return infos
 
         last = infos[-1]
-        if last.lost:
+        if last.lost and not self._newer_frame_recovered():
             feats = self._feats_fn(jnp.asarray(images_b[-1], jnp.float32))
             pose, ok, _ = self._reloc_fn(self.ms, feats, pcam)
             if bool(ok):
