@@ -27,19 +27,9 @@ import jax
 if __name__ == "__main__":
     jax.config.update("jax_platforms", "cpu")
     # share the suite's host-fingerprinted persistent compile cache
-    # (see tests/conftest.py for why the fingerprint)
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as _f:
-            _flags = next((ln for ln in _f if ln.startswith("flags")), "")
-    except OSError:
-        _flags = ""
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        "/root/.jax_cache_cpu_tests_"
-        + hashlib.sha1(_flags.encode()).hexdigest()[:12],
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # (mcptam_tpu/hostcache.py for why the fingerprint)
+    from mcptam_tpu.hostcache import enable_cpu_cache
+    enable_cpu_cache(jax)
 
 import jax.numpy as jnp
 

@@ -28,23 +28,9 @@ jax.config.update("jax_platforms", "cpu")
 # compiled for another machine's feature set segfaults (observed:
 # "+prefer-no-gather is not supported on the host machine ... SIGILL",
 # then a hard crash mid-suite).
-import hashlib  # noqa: E402
+from mcptam_tpu.hostcache import enable_cpu_cache  # noqa: E402
 
-
-def _cpu_cache_dir() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next(
-                (ln for ln in f if ln.startswith("flags")), ""
-            )
-    except OSError:
-        flags = ""
-    tag = hashlib.sha1(flags.encode()).hexdigest()[:12]
-    return f"/root/.jax_cache_cpu_tests_{tag}"
-
-
-jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+enable_cpu_cache(jax)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
