@@ -135,7 +135,7 @@ def epipolar_match(ms: MapState, cams: CameraModel,
         # LevelScale * 3, src/MapMakerServerBase.cc:700-702), i.e. its
         # count GROWS with arc length; with XLA's static shapes the
         # equivalent is a hypothesis budget (mm_epi_max_hypotheses,
-        # default 64): arcs up to (NH-1) x 3px sample at >= reference
+        # default 32): arcs up to (NH-1) x 3px sample at >= reference
         # density, longer arcs degrade to uniform spread — raise the
         # budget for very wide-baseline rigs.  Short arcs sample DENSER
         # than the reference (the spare budget is free coverage, not
