@@ -186,6 +186,19 @@ def _spd_kernel_blocked(a_ref, b_ref, x_ref, u_ref, lt_ref, *, n_real: int,
         )
 
 
+def _env_blocked() -> bool:
+    """Kernel-choice env var, resolved OUTSIDE any jitted body so a
+    changed ``MCPTAM_SPD_KERNEL`` is honored even after the jit cache is
+    warm (the static ``blocked`` argument keys the cache).
+
+    Default is the BLOCKED panel kernel: measured on the v5e chip
+    (round 5) it beats the simple kernel at every production size —
+    n=96: 0.020 vs 0.026 ms, n=192: 1.99 vs 2.17 ms, n=288: 1.30 vs
+    1.52 ms — with equal accuracy (max err ~5e-9 vs LAPACK)."""
+    import os
+    return os.environ.get("MCPTAM_SPD_KERNEL", "blocked") == "blocked"
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "blocked"))
 def _spd_solve_pallas(A: jnp.ndarray, B: jnp.ndarray, interpret: bool = False,
                       blocked: bool | None = None):
@@ -201,10 +214,7 @@ def _spd_solve_pallas(A: jnp.ndarray, B: jnp.ndarray, interpret: bool = False,
         B.astype(jnp.float32)
     )
     if blocked is None:
-        # default stays on the hardware-validated simple kernel until the
-        # blocked one is measured on a real chip (flip via env)
-        import os
-        blocked = os.environ.get("MCPTAM_SPD_KERNEL", "simple") == "blocked"
+        blocked = _env_blocked()
     kern = _spd_kernel_blocked if blocked else _spd_kernel
     X = pl.pallas_call(
         functools.partial(kern, n_real=n),
@@ -230,11 +240,9 @@ def spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     platforms (CPU test mesh) use the stock solver, which is fast there."""
     vec = b.ndim == 1
     B = b[:, None] if vec else b
-    dd = jax.config.jax_default_device
-    on_cpu = (dd.platform == "cpu") if dd is not None \
-        else jax.default_backend() == "cpu"
-    if not on_cpu:
-        X = _spd_solve_pallas(A, B)
+    from mcptam_tpu.backend import use_pallas
+    if use_pallas():
+        X = _spd_solve_pallas(A, B, blocked=_env_blocked())
     else:
         X = jnp.linalg.solve(A, B)
     return X[:, 0] if vec else X

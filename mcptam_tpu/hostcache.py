@@ -35,6 +35,15 @@ def cpu_cache_dir(prefix: str = "/root/.jax_cache_cpu_tests_") -> str:
                     ident.append(ln.strip())
     except OSError:
         pass
+    if not ident:
+        # /proc/cpuinfo unreadable: a constant hash would merge every such
+        # host into ONE cache dir — exactly the cross-machine SIGILL this
+        # module exists to prevent.  Fall back to whatever identity python
+        # exposes (may still collide, but only across same-reported-arch
+        # hosts rather than across everything).
+        import platform
+        ident = [platform.machine(), platform.processor(),
+                 platform.platform()]
     return prefix + hashlib.sha1("\n".join(ident).encode()).hexdigest()[:12]
 
 

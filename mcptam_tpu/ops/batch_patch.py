@@ -40,13 +40,8 @@ _SRC_HALF = 12  # template source window half-size (ops/patch.py)
 # ---------------------------------------------------------------------------
 
 def _use_pallas() -> bool:
-    import os
-    if os.environ.get("MCPTAM_NO_PALLAS"):
-        return False
-    dd = jax.config.jax_default_device
-    if dd is not None:
-        return dd.platform == "tpu"
-    return jax.default_backend() == "tpu"
+    from mcptam_tpu.backend import use_pallas
+    return use_pallas()
 
 
 def _gather_plane(plane2d, rows, cols, G: int):

@@ -202,13 +202,9 @@ def fast_frontend_reference(img: jnp.ndarray):
 def fast_frontend_auto(img: jnp.ndarray):
     """Kernel on TPU, reference elsewhere (tests run on a CPU mesh).
 
-    Honors ``jax.default_device`` so host-side scene/data construction
-    under ``with jax.default_device(cpu)`` on a TPU-backed process picks
-    the reference path (Pallas compiled mode is TPU-only)."""
-    import os
-    dd = jax.config.jax_default_device
-    on_tpu = (dd.platform == "tpu") if dd is not None \
-        else jax.default_backend() == "tpu"
-    if on_tpu and not os.environ.get("MCPTAM_NO_PALLAS"):
+    Dispatch goes through the shared :func:`mcptam_tpu.backend.use_pallas`
+    predicate (honors ``jax.default_device`` and ``MCPTAM_NO_PALLAS``)."""
+    from mcptam_tpu.backend import use_pallas
+    if use_pallas():
         return fast_frontend(img)
     return fast_frontend_reference(img)
