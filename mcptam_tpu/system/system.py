@@ -70,6 +70,10 @@ class FrameInfo:
                               # latest dispatched frame by pipeline_depth)
     provisional: bool = False  # pipeline still priming: this frame will be
                                # published again when its slot drains
+    # when a process_frame call drains a batch queued by process_frames,
+    # the batch's OLDER frames ride here on the returned (newest) info so
+    # no FrameInfo is ever parked indefinitely or delivered out of order
+    siblings: list = None
 
 
 class System:
@@ -151,6 +155,10 @@ class System:
         from collections import deque
         self._inflight = deque()
         self._extra_drained = []   # batch infos drained via process_frame
+        # frames dispatched BEFORE the last successful relocalization:
+        # their lost flags predate the fix, so draining them must not
+        # re-fire reloc (stale-lost suppression; one reloc per loss)
+        self._reloc_done_fid = -1
         # batched-throughput mode (process_frames): jitted scan-over-frames
         # programs keyed by (batch size, glare flag)
         self._batch_fns = {}
@@ -246,7 +254,18 @@ class System:
         )
 
     def reset(self, keep_pose: bool = False):
-        """Full system reset (ref Reset service, srv/Reset.srv)."""
+        """Full system reset (ref Reset service, srv/Reset.srv).
+
+        In-flight pipelined frames are DROPPED, not drained: their
+        tracking state refers to the map being destroyed, so acting on
+        them (reloc, adds) would mutate the fresh map with stale data.
+        The drop is counted and reported via ``last_reset_dropped``."""
+        dropped = self._inflight_frames() + len(self._extra_drained)
+        if dropped:
+            import sys as _sys
+            print(f"[mcptam] reset: dropping {dropped} in-flight "
+                  f"frame(s)", file=_sys.stderr)
+        self.last_reset_dropped = dropped
         pose = self.ts.pose if keep_pose else SE3.identity()
         self.ms = create_map_state(
             self.H, self.W, self.n_cams, self.cam_from_base,
@@ -259,6 +278,7 @@ class System:
         self.initialized = False
         self._inflight.clear()
         self._extra_drained = []
+        self._reloc_done_fid = -1
 
     def process_frame(self, images, cam_active=None) -> FrameInfo:
         """images: (C,H,W) array-like uint8/float.
@@ -305,11 +325,12 @@ class System:
                                          timing, sw, do_actions=True)
             else:
                 # a batch queued by process_frames drains here: act on all
-                # its frames, return the newest; the rest surface through
-                # the next process_frames call or flush_pipeline
+                # its frames, return the newest with the older ones
+                # attached as .siblings (in order) so the caller's info
+                # stream stays complete
                 infos = self._drain_batch(entry, do_actions=True)
-                self._extra_drained.extend(infos[:-1])
                 info = infos[-1]
+                info.siblings = infos[:-1]
                 added_any = any(i.added_mkf for i in infos)
         else:
             # pipeline priming: publish the newest frame without running
@@ -395,7 +416,8 @@ class System:
         relocalized = False
         added = False
         if do_actions:
-            if lost and not self._newer_frame_recovered():
+            if (lost and fid >= self._reloc_done_fid
+                    and not self._newer_frame_recovered()):
                 pose, ok, score = self._reloc_fn(self.ms, feats, cam_active)
                 if bool(ok):
                     self.ts = self.ts.replace(
@@ -403,6 +425,9 @@ class System:
                         lost_count=jnp.zeros((), jnp.int32),
                     )
                     relocalized = True
+                    # every frame still in flight predates this fix —
+                    # draining their stale lost flags must not reloc again
+                    self._reloc_done_fid = self.frame_count
 
             # MKF-add heuristics (ref src/Tracker.cc:468-488): good
             # quality, far enough from the nearest keyframe — quality /
@@ -496,13 +521,18 @@ class System:
                         images.astype(jnp.float32), static_masks=masks,
                         glare_masking=glare,
                     )
-                    ts2, ms2, _res, scalars = self._device_step(
+                    ts2, ms2, res, scalars = self._device_step(
                         ts, ms, feats, cam_active, queue_poses
                     )
-                    return (ts2, ms2), scalars
+                    return (ts2, ms2), (scalars, res)
 
-                (ts2, ms2), scal = jax.lax.scan(body, (ts, ms), images_b)
-                return ts2, ms2, scal
+                (ts2, ms2), (scal, res_b) = jax.lax.scan(
+                    body, (ts, ms), images_b)
+                # res_b: per-frame TrackResult stacked on a leading B axis
+                # (small: K-row selection tables), kept on device so a
+                # batched keyframe add carries the SAME tracker
+                # measurements and exact pose as the synchronous path
+                return ts2, ms2, scal, res_b
 
             fn = jax.jit(batch_step, donate_argnums=(0, 1))
             self._batch_fns[key] = fn
@@ -536,12 +566,12 @@ class System:
         )
         qposes = self._queue_poses()
         fn = self._get_batch_fn(B)
-        self.ts, self.ms, scal = fn(
+        self.ts, self.ms, scal, res_b = fn(
             self.ts, self.ms, images_batch, cam_active, qposes
         )
         scal.copy_to_host_async()
         self._inflight.append(("b", self.frame_count, scal, images_batch,
-                               cam_active))
+                               cam_active, res_b))
         self.frame_count += B
 
         # frames a process_frame call drained from a batch entry surface
@@ -575,8 +605,10 @@ class System:
     def _drain_batch(self, entry, do_actions: bool) -> list:
         """Unpack one drained batch into FrameInfos and run control
         actions for it: relocalization if the newest frame is lost, at
-        most one keyframe add (features recomputed on demand)."""
-        _, fid0, scal, images_b, pcam = entry
+        most one keyframe add (features recomputed on demand; pose and
+        tracker measurements come from the acting frame's on-device
+        TrackResult, same as the synchronous path)."""
+        _, fid0, scal, images_b, pcam, res_b = entry
         v = np.asarray(scal)                      # (B, 54)
         infos = []
         for j in range(v.shape[0]):
@@ -605,7 +637,8 @@ class System:
             return infos
 
         last = infos[-1]
-        if last.lost and not self._newer_frame_recovered():
+        if (last.lost and last.frame_id >= self._reloc_done_fid
+                and not self._newer_frame_recovered()):
             feats = self._feats_fn(jnp.asarray(images_b[-1], jnp.float32))
             pose, ok, _ = self._reloc_fn(self.ms, feats, pcam)
             if bool(ok):
@@ -614,6 +647,7 @@ class System:
                     lost_count=jnp.zeros((), jnp.int32),
                 )
                 last.relocalized = True
+                self._reloc_done_fid = self.frame_count
 
         # at most one add per batch: the newest qualifying frame
         force_add = self._force_add_next and not last.lost
@@ -629,11 +663,20 @@ class System:
                 jnp.asarray(images_b[j], jnp.float32)
             )
             info = infos[j]
-            pose = SE3(R=jnp.asarray(info.pose[:, :3]),
-                       t=jnp.asarray(info.pose[:, 3]))
-            self.mapmaker.add_mkf(feats, pose, None, cam_active=pcam)
+            res_j = self._slice_res(res_b, j)
+            self.mapmaker.add_mkf(feats, res_j.pose, res_j,
+                                  cam_active=pcam)
             info.added_mkf = True
         return infos
+
+    def _slice_res(self, res_b, j: int):
+        """Frame j's TrackResult from the batch's stacked results — one
+        jitted gather (eager per-leaf slicing costs a tunnel dispatch per
+        leaf on a remote TPU)."""
+        if not hasattr(self, "_slice_res_fn"):
+            self._slice_res_fn = jax.jit(
+                lambda r, j: jax.tree_util.tree_map(lambda a: a[j], r))
+        return self._slice_res_fn(res_b, jnp.asarray(j, jnp.int32))
 
     @property
     def pose(self) -> SE3:
