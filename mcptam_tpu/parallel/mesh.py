@@ -70,6 +70,70 @@ def sharded_lm_run(mesh: Mesh, prob, cams, n_steps: int, bcfg=None):
     return fn(prob, st), prob
 
 
+_PT_FIELDS = ("points", "movable_pt", "obs_idx", "obs_valid",
+              "pt_src_a", "pt_src_b", "pt_index", "pt_index_ok")
+
+
+def shard_bundle_problem_soa(mesh: Mesh, prob):
+    """Sharding pytree for the PRODUCTION obs-table layout (the path
+    system/mapmaker.py actually runs: grouped (L, D) observation table +
+    ``fixed_b=True``): the point/L axis is split over devices — points,
+    their movable mask, the obs table and the source-chain indices — while
+    the K-sized measurement arrays and the handful of poses stay
+    replicated, so every ``obs_idx`` gather reads replicated operands with
+    device-local indices (no cross-chip gather).  The normal-equation
+    contractions over N = L*D become psums/reduce-scatters over ICI, the
+    TPU analogue of g2o's OpenMP edge parallelism
+    (ref src/ChainBundle.cc:451-456)."""
+    rep = _spec(mesh)
+    ptx0 = _spec(mesh, AXIS)
+
+    def spec_for(path, leaf):
+        name = path[0].name if path else ""
+        if name in _PT_FIELDS:
+            return ptx0
+        return rep
+
+    return jax.tree_util.tree_map_with_path(spec_for, prob)
+
+
+def _shard_lm_state_soa(mesh: Mesh, st):
+    rep = _spec(mesh)
+    ptx0 = _spec(mesh, AXIS)
+
+    def spec_for(path, leaf):
+        name = path[0].name if path else ""
+        return ptx0 if name == "points" else rep
+
+    return jax.tree_util.tree_map_with_path(spec_for, st)
+
+
+def sharded_lm_run_soa(mesh: Mesh, prob_t, cams, n_steps: int, bcfg=None):
+    """jit an LM run over the production SoA layout (obs table attached,
+    extrinsics statically fixed) with the point axis sharded over the
+    mesh.  L must divide the mesh size.  Returns (final LMState, sharded
+    problem)."""
+    from mcptam_tpu.ba.bundle import lm_run, create_lm_state
+    from mcptam_tpu.config import DEFAULT_BUNDLE
+
+    assert prob_t.obs_idx is not None, (
+        "sharded_lm_run_soa needs an attached obs table "
+        "(ba.bundle.attach_obs_table)"
+    )
+    bcfg = bcfg or DEFAULT_BUNDLE
+    prob_sharding = shard_bundle_problem_soa(mesh, prob_t)
+    prob_t = jax.device_put(prob_t, prob_sharding)
+    st = create_lm_state(prob_t, bcfg)
+    st_sharding = _shard_lm_state_soa(mesh, st)
+    st = jax.device_put(st, st_sharding)
+
+    fn = jax.jit(
+        lambda p, s: lm_run(p, s, cams, n_steps, bcfg, fixed_b=True),
+        in_shardings=(prob_sharding, st_sharding),
+    )
+    return fn(prob_t, st), prob_t
+
+
 def shard_map_points(mesh: Mesh, ms):
     """Sharding pytree for a MapState: the point axis (the biggest) is
     split over devices; keyframe imagery and measurement lists are

@@ -100,12 +100,29 @@ class MapMaker:
         cams = self.cams
         from mcptam_tpu.ba.bundle import max_obs_per_point
         from mcptam_tpu.map.state import count_mkfs, count_points
-        self._local_prob_fn = jax.jit(
-            lambda ms: attach_obs_table(
-                compact_problem(problem_recent(ms, bcfg.recent_num)),
-                min(bcfg.obs_cap, 64),
-            )
-        )
+        # local problem: build + count in one dispatch, then attach the
+        # obs table with D sized FROM THE DATA (bucketed, obs_cap floor,
+        # 64 cap) exactly like the global path — a static D silently
+        # dropped Hessian edges for any local point with more
+        # observations (round-4 weak #7).  One extra host sync per local
+        # BA start (not per chunk); the bucket cache keeps compile-once.
+        def _local_core(ms):
+            prob = compact_problem(problem_recent(ms, bcfg.recent_num))
+            return prob, max_obs_per_point(prob)
+        self._local_core_fn = jax.jit(_local_core)
+        self._local_attach_cache = {}
+
+        def _local_prob(ms):
+            prob, dmax = self._local_core_fn(ms)
+            D = _bucket(max(int(jax.device_get(dmax)), 1),
+                        (8, 16, 24, 32, 48, 64))
+            D = max(min(D, 64), min(self.bcfg.obs_cap, 64))
+            fn = self._local_attach_cache.get(D)
+            if fn is None:
+                fn = jax.jit(lambda p, D=D: attach_obs_table(p, D))
+                self._local_attach_cache[D] = fn
+            return fn(prob)
+        self._local_prob_fn = _local_prob
         def _global_counts(ms):
             prob = problem_all(ms)
             n_pt, n_m = problem_live_counts(prob)
@@ -179,10 +196,33 @@ class MapMaker:
             self._global_prob_cache[key] = fn
         return fn(ms)
 
+    def _resolve_epi_budget(self, ms):
+        """epi_max_hypotheses == 0 means AUTO: bucket the static arc
+        budget (32/64/128) from this rig's actual worst-case arc length
+        toward the reference's ~3 px stepping (auto_hypothesis_budget;
+        ref OnePixelAngle stepping, src/MapMakerServerBase.cc:700-714).
+        Resolved once, host-side, before the first epipolar program is
+        traced — the budget is rig geometry, not frame data."""
+        if self.mcfg.epi_max_hypotheses != 0:
+            return
+        import dataclasses
+        from mcptam_tpu.map.epipolar import auto_hypothesis_budget
+        finest = 0 if self.mcfg.level_zero_points else 1
+        try:
+            nh = auto_hypothesis_budget(
+                self.cams, ms.cam_from_base, finest_level=finest,
+                kf_baseline=self.mcfg.max_scaled_mkf_dist
+                * self.mcfg.init_depth,
+            )
+        except Exception:
+            nh = 32
+        self.mcfg = dataclasses.replace(self.mcfg, epi_max_hypotheses=nh)
+
     def _integrate(self, ms, feats, pose, result, cam_active):
         """Jitted MKF integration (one device program instead of eager
         per-pass dispatch); cache keyed on the mutable mcfg + the
         with/without-tracker-result trace shape."""
+        self._resolve_epi_budget(ms)
         key = (self.mcfg, result is not None)
         fn = self._integrate_cache.get(key)
         if fn is None:
@@ -215,6 +255,7 @@ class MapMaker:
         map left untouched, ok=False — when fewer than
         mcfg.min_map_points points could be triangulated; the caller
         retries on a later frame."""
+        self._resolve_epi_budget(ms)
         fn = self._init_cache.get(self.mcfg)
         if fn is None:
             mcfg = self.mcfg
@@ -325,11 +366,9 @@ class MapMaker:
                 # compacted local problem: LM step cost independent of the
                 # total map size (edges restricted to the local set, ref
                 # src/BundleAdjusterBase.cc:188-265).  D is STATIC here
-                # (obs_cap) so local lm_run compiles exactly once; a local
-                # point with more than obs_cap observations (its fixed
-                # anchor MKFs included) loses the excess from the normal
-                # equations — obs_dropped is checked and logged when the
-                # run completes, at an existing sync point.
+                # D sized from the data (bucketed, see _local_prob);
+                # obs_dropped is still checked and logged when the run
+                # completes in case the 64 hard cap clipped a hub point.
                 self._ba_prob = self._local_prob_fn(ms)
             elif not self._global_done:
                 self._ba_kind = "global"

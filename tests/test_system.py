@@ -354,3 +354,92 @@ def test_checkpoint_resume_continues_tracking(tmp_path):
     assert err_t < 0.06, err_t
     # the resumed session keeps building the map
     assert info.n_mkfs >= 2
+
+
+# ---------------------------------------------------------------------------
+# Deep-pipeline relocalization semantics (pipeline_depth >= 8): unit tests
+# over fabricated in-flight entries — the lost flag a draining frame
+# carries is pipeline_depth frames STALE, and the reloc policy around that
+# staleness is what these pin (round-4 weak #8 / next-round task #10).
+# ---------------------------------------------------------------------------
+
+def _scalars(lost: bool) -> np.ndarray:
+    """A fabricated packed-scalar vector as _device_step emits (54,)."""
+    v = np.zeros(54, np.float32)
+    v[0] = 1.0 if lost else 0.0
+    v[1] = 2.0 if lost else 0.0          # quality BAD / GOOD
+    v[6:15] = np.eye(3, dtype=np.float32).reshape(-1)
+    return v
+
+
+def _reloc_stub(calls, ok=True):
+    def fn(ms, feats, cam_active):
+        calls.append(1)
+        return SE3.identity(), jnp.asarray(ok), jnp.asarray(0.0)
+    return fn
+
+
+def _pipeline_system():
+    sys_, cams, cfb = make_system()
+    sys_.pipeline_depth = 8
+    sys_.initialized = True
+    return sys_
+
+
+def _drain_one(sys_):
+    from mcptam_tpu.system.timing import TrackerTiming, Stopwatch
+    e = sys_._inflight.popleft()
+    _, fid, sc, feats, res, pcam = e
+    return sys_._drain_frame(fid, sc, feats, res, pcam, TrackerTiming(),
+                             Stopwatch(), do_actions=True)
+
+
+def test_pipeline_reloc_skipped_when_newer_frame_recovered():
+    """A stale lost flag must NOT trigger relocalization when any newer
+    in-flight frame has already landed not-lost: the tracker recovered on
+    its own and reloc would overwrite the recovered pose."""
+    sys_ = _pipeline_system()
+    calls = []
+    sys_._reloc_fn = _reloc_stub(calls)
+    ca = jnp.ones((C,), bool)
+    sys_._inflight.append(("f", 0, _scalars(lost=True), None, None, ca))
+    for fid in range(1, 9):
+        sys_._inflight.append(
+            ("f", fid, _scalars(lost=(fid < 5)), None, None, ca))
+    sys_.frame_count = 9
+    info = _drain_one(sys_)
+    assert info.lost and not info.relocalized
+    assert calls == [], "reloc fired despite a newer recovered frame"
+
+
+def test_pipeline_reloc_fires_exactly_once_while_lost():
+    """When the tracker STAYS lost across the whole pipeline, draining the
+    stale lost frames runs relocalization exactly once: a successful reloc
+    marks every frame dispatched before it, so their stale flags cannot
+    re-fire it."""
+    sys_ = _pipeline_system()
+    calls = []
+    sys_._reloc_fn = _reloc_stub(calls, ok=True)
+    ca = jnp.ones((C,), bool)
+    for fid in range(8):
+        sys_._inflight.append(("f", fid, _scalars(lost=True), None, None, ca))
+    sys_.frame_count = 8
+    infos = [_drain_one(sys_) for _ in range(8)]
+    assert len(calls) == 1, f"reloc fired {len(calls)} times"
+    assert infos[0].relocalized and not any(i.relocalized for i in infos[1:])
+
+
+def test_pipeline_reloc_retries_after_failed_attempt():
+    """A FAILED relocalization must not suppress later attempts: the next
+    stale lost frame retries (the reference retries every lost frame,
+    src/Tracker.cc:493-502)."""
+    sys_ = _pipeline_system()
+    calls = []
+    sys_._reloc_fn = _reloc_stub(calls, ok=False)
+    ca = jnp.ones((C,), bool)
+    for fid in range(3):
+        sys_._inflight.append(("f", fid, _scalars(lost=True), None, None, ca))
+    sys_.frame_count = 3
+    for _ in range(3):
+        _drain_one(sys_)
+    assert len(calls) == 3, f"failed reloc suppressed retries ({len(calls)})"
