@@ -32,31 +32,54 @@ def add_platform_arg(p: argparse.ArgumentParser):
 
 
 def add_rig_video_args(p: argparse.ArgumentParser, video_required=True):
-    p.add_argument("--rig", required=True, help="rig JSON (io/rig_config.py)")
+    p.add_argument("--rig", default="",
+                   help="rig JSON (io/rig_config.py); defaults to "
+                        "<dataset>/rig.json when --video is a dataset dir")
     p.add_argument("--video", required=video_required,
-                   help="(C,T,H,W) uint8 .npy/.npz frame sequence")
+                   help="(C,T,H,W) uint8 .npy/.npz frame sequence, or a "
+                        "dataset DIRECTORY of per-camera image sequences "
+                        "(io/dataset.py layout: camera*/NNNNNN.png|pgm + "
+                        "timestamps.txt + rig.json)")
     p.add_argument("--frames", type=int, default=0,
                    help="max frames to process (0 = all)")
     p.add_argument("--fps", type=float, default=30.0, help="replay rate")
 
 
 def build_system_inputs(args):
+    """Returns (cams, cam_from_base, cams_sbi, H, W, masks, names,
+    frames (C,T,H,W)|None, timestamps (C,T)|None)."""
     from mcptam_tpu.io.rig_config import load_rig, load_video
     from mcptam_tpu.io.synthetic import make_sbi_cams
 
-    cams, cam_from_base, H, W, masks, names = load_rig(args.rig)
-    cams_sbi = make_sbi_cams(cams, H, W)
-    frames = load_video(args.video) if args.video else None
+    stamps = None
+    if args.video and os.path.isdir(args.video):
+        from mcptam_tpu.io.dataset import load_dataset
+        if args.rig:
+            from mcptam_tpu.io.dataset import load_sequence_dir
+            cams, cam_from_base, H, W, masks, names = load_rig(args.rig)
+            frames, stamps = load_sequence_dir(
+                args.video, names=names, limit=args.frames)
+        else:
+            (cams, cam_from_base, H, W, masks, names, frames,
+             stamps) = load_dataset(args.video, limit=args.frames)
+    else:
+        if not args.rig:
+            raise SystemExit("--rig is required unless --video is a "
+                             "dataset directory carrying rig.json")
+        cams, cam_from_base, H, W, masks, names = load_rig(args.rig)
+        frames = load_video(args.video) if args.video else None
+        if frames is not None and args.frames:
+            frames = frames[:, : args.frames]
     if frames is not None:
         assert frames.shape[2:] == (H, W), \
             f"video {frames.shape} does not match rig {H}x{W}"
-        if args.frames:
-            frames = frames[:, : args.frames]
-    return cams, cam_from_base, cams_sbi, H, W, masks, names, frames
+    cams_sbi = make_sbi_cams(cams, H, W)
+    return (cams, cam_from_base, cams_sbi, H, W, masks, names, frames,
+            stamps)
 
 
 def run_tracking_loop(system, frames, fps, out_map=None, print_every=1,
-                      batch=1):
+                      batch=1, timestamps=None):
     """Shared main loop of mcptam / mcptam_client: replay through the
     native synced queue, track every frame set, report state.
 
@@ -79,7 +102,7 @@ def run_tracking_loop(system, frames, fps, out_map=None, print_every=1,
                 flush=True,
             )
 
-    src = ReplaySource(frames, fps=fps)
+    src = ReplaySource(frames, fps=fps, timestamps=timestamps)
     src.start()
     T = frames.shape[1]
     infos = []

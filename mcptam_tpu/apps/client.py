@@ -28,7 +28,7 @@ def main(argv=None):
     from mcptam_tpu.config import MAX_POINTS, MAX_MKFS, MAX_MEAS
     from mcptam_tpu.system.client import SystemClient
 
-    cams, cam_from_base, cams_sbi, H, W, masks, names, frames = \
+    cams, cam_from_base, cams_sbi, H, W, masks, names, frames, stamps = \
         build_system_inputs(args)
     host, port = args.server.rsplit(":", 1)
     system = SystemClient(
@@ -37,7 +37,7 @@ def main(argv=None):
         max_mkfs=args.max_mkfs or MAX_MKFS,
         max_meas=args.max_meas or MAX_MEAS,
     )
-    run_tracking_loop(system, frames, args.fps)
+    run_tracking_loop(system, frames, args.fps, timestamps=stamps)
     system.close()
     return 0
 

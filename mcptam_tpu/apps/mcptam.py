@@ -42,7 +42,7 @@ def main(argv=None):
 
     from mcptam_tpu.system.system import System
 
-    cams, cam_from_base, cams_sbi, H, W, masks, names, frames = \
+    cams, cam_from_base, cams_sbi, H, W, masks, names, frames, stamps = \
         build_system_inputs(args)
     system = System(cams, cam_from_base, cams_sbi, H, W, masks=masks,
                     pipeline_depth=args.pipeline)
@@ -52,7 +52,7 @@ def main(argv=None):
         system.initialized = True
     infos = run_tracking_loop(system, frames, args.fps,
                               out_map=args.out_map or None,
-                              batch=args.batch)
+                              batch=args.batch, timestamps=stamps)
     if args.eval_gt:
         import json
         from mcptam_tpu.apps._common import load_gt_poses

@@ -75,13 +75,20 @@ class ReplaySource:
     """Feed a pre-rendered sequence through the native queue with
     producer threads per camera — the bag-replay stand-in (SURVEY §4)."""
 
-    def __init__(self, frames_by_cam, fps: float = 30.0, jitter: float = 1e-4):
+    def __init__(self, frames_by_cam, fps: float = 30.0, jitter: float = 1e-4,
+                 timestamps=None):
         # frames_by_cam: (C, T, H, W) array-like uint8
+        # timestamps: optional (C, T) float64 recorded stamps (dataset
+        # replay, io/dataset.py); without them index/fps + jitter is used
         self.frames = np.asarray(frames_by_cam, np.uint8)
         C, T, H, W = self.frames.shape
         self.queue = SyncedFrameQueue(C, H, W)
         self.fps = fps
         self.jitter = jitter
+        self.timestamps = (
+            None if timestamps is None
+            else np.asarray(timestamps, np.float64)
+        )
         self._threads = []
 
     def start(self):
@@ -90,7 +97,10 @@ class ReplaySource:
 
         def feed(c):
             for t in range(T):
-                ts = t / self.fps + float(rng.normal() * self.jitter)
+                if self.timestamps is not None:
+                    ts = float(self.timestamps[c, t])
+                else:
+                    ts = t / self.fps + float(rng.normal() * self.jitter)
                 self.queue.push(c, ts, self.frames[c, t])
 
         for c in range(C):
