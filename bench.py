@@ -242,7 +242,15 @@ def stage_jit_step(ctx: dict):
     ts, msd = sys_.ts, sys_.ms
     ts, msd, sc, _ = bfn(ts, msd, batches[0], ca, qposes)   # compile
     sc.block_until_ready()
-    log("batched step compiled; timing jit ceiling")
+    # the FIRST ~8 executions of a freshly compiled program on the
+    # tunneled device run ~100x slow (server-side per-program warm-up;
+    # measured 2 fps -> 219 fps across one warm loop with everything
+    # else identical) — burn throwaway dispatches before timing
+    log("batched step compiled; warming the program")
+    for i in range(16):
+        ts, msd, sc, _ = bfn(ts, msd, batches[i % len(batches)], ca, qposes)
+    sc.block_until_ready()
+    log("timing jit ceiling")
     n_jit = 64
     t0 = time.perf_counter()
     for i in range(n_jit // B):
@@ -567,6 +575,21 @@ def _prep_main():
         traceback.print_exc()
 
 
+def _enable_device_compile_cache():
+    """Persistent XLA compile cache for the measurement child: the
+    driver's end-of-round bench budget (~600 s) cannot absorb the ~500 s
+    cold-compile bill over the tunnel, but with the cache warm (this
+    session's runs populate it) every stage's programs load in seconds
+    and the full metric set fits the budget."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.jax_cache_tpu_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _child_main():
     """One measurement attempt (runs jax; may hang on a dead tunnel —
     the watchdog thread guarantees the JSON line regardless)."""
@@ -576,6 +599,8 @@ def _child_main():
     wd.daemon = True
     wd.start()
     _force_cpu_if_requested()
+    if os.environ.get("JAX_PLATFORMS", "").strip() != "cpu":
+        _enable_device_compile_cache()
     ctx = {}
     try:
         stage_jit_step(ctx)

@@ -95,7 +95,10 @@ class TrackerConfig:
     tracking_prior: float = 100.0  # WLS prior (reference src/Tracker.cc:1391)
     mest_sigma_min: float = 0.4    # min sigma-squared floor
     use_sbi_rotation: bool = True  # SBI-ESM rotation in the motion model
-    use_pallas_esm: bool = False   # fused Pallas ESM kernel (ops/sbi_pallas)
+    # fused Pallas ESM kernel (ops/sbi_pallas); engages only on TPU
+    # backends (ANDed with backend.use_pallas() at the call site).
+    # Hardware-validated round 5: 0.95 ms vs 1.36 ms XLA, se2 err 3e-5.
+    use_pallas_esm: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,11 +138,13 @@ class MapMakerConfig:
     # steps the arc at ~3 px via OnePixelAngle; static here for XLA)
     # static epipolar-arc hypothesis budget: arcs up to (NH-1) x 3 source
     # px sample at >= the reference's stepping density
-    # (src/MapMakerServerBase.cc:700-702).  Raise (64/128) for
-    # wide-baseline rigs with long arcs; the ambiguity window is
-    # density-invariant so a larger budget only adds coverage.  64 was
-    # measured to ADD marginal triangulations on the synthetic close-rig
-    # scene (tracking err 0.03 -> 0.05), so denser is not blindly better.
+    # (src/MapMakerServerBase.cc:700-702).  0 = AUTO: bucket (32/64/128)
+    # from the rig's actual worst-case arc length at map-maker setup
+    # (map/epipolar.py::auto_hypothesis_budget) — use this for
+    # wide-baseline rigs, whose long arcs a fixed 32 under-samples.  The
+    # DEFAULT stays 32: a blanket 64 was measured to ADD marginal
+    # triangulations on the synthetic close-rig scene (tracking err
+    # 0.03 -> 0.05), so denser is not blindly better.
     epi_max_hypotheses: int = 32
     max_new_points_per_level: tuple = (100, 100, 100, 100)
     # reject a new MKF if no level>=2 point could be triangulated against

@@ -411,9 +411,14 @@ def _stage_sbi(ts: TrackerState, feats: FrameFeatures,
                tcfg: TrackerConfig, cam_active):
     """Stage 1a (TrackerTiming.sbi): SBI ESM rotation estimate."""
     if getattr(tcfg, "use_sbi_rotation", True):
+        # the Pallas ESM engages only where Pallas compiles (TPU):
+        # backend gate AND the config flag (hardware-validated round 5:
+        # 0.95 ms vs 1.36 ms for the vmapped XLA path, se2 err 3e-5)
+        from mcptam_tpu.backend import use_pallas
         return calc_sbi_rotation(
             ts, feats, cams_sbi, cam_from_base,
-            use_pallas=getattr(tcfg, "use_pallas_esm", False),
+            use_pallas=(getattr(tcfg, "use_pallas_esm", True)
+                        and use_pallas()),
             cam_active=cam_active,
         )
     return jnp.zeros(3), jnp.zeros((), bool)
