@@ -198,7 +198,13 @@ def _device_clone_fn():
     return jax.jit(lambda t: jax.tree_util.tree_map(clone_leaf, t))
 
 
-B = 4   # frames per device dispatch (throughput deployment mode)
+# Throughput deployment configuration — swept on the chip (PROFILE_r05.md):
+# B=4/chunk=4/tick=1 -> 145 fps, B=8/4/1 -> 170.7, B=8/2/1 -> 178.5,
+# B=16/4/1 -> 201.1, B=8/4/2 -> 202.0 (winner: same map-maker duty as
+# B=16 at half the dispatch latency).
+B = 8          # frames per device dispatch (throughput deployment mode)
+BA_CHUNK = 4    # LM steps per map-maker tick (preemption granularity)
+TICK_EVERY = 2  # map-maker tick every Nth batch dispatch
 
 
 def stage_jit_step(ctx: dict):
@@ -222,12 +228,14 @@ def stage_jit_step(ctx: dict):
         cams, cam_from_base, cams_sbi, H, W,
         tcfg=TrackerConfig(), mcfg=MapMakerConfig(),
         max_points=MAX_POINTS, max_mkfs=MAX_MKFS, max_meas=MAX_MEAS,
-        mapmaker=MapMaker(cams=cams, mcfg=MapMakerConfig(), ba_chunk=4),
+        mapmaker=MapMaker(cams=cams, mcfg=MapMakerConfig(),
+                          ba_chunk=BA_CHUNK),
         pipeline_depth=2 * B,
     )
     sys_.ms = ms
     sys_.initialized = True
     sys_.mapmaker.state = MM_RUNNING
+    sys_.tick_every = TICK_EVERY
     RESULTS["kernels"] = kernel_report()
     log(f"kernels: {RESULTS['kernels']}")
 
@@ -251,11 +259,15 @@ def stage_jit_step(ctx: dict):
         ts, msd, sc, _ = bfn(ts, msd, batches[i % len(batches)], ca, qposes)
     sc.block_until_ready()
     log("timing jit ceiling")
-    n_jit = 64
+    n_jit = 128
     t0 = time.perf_counter()
     for i in range(n_jit // B):
         ts, msd, sc, _ = bfn(ts, msd, batches[i % len(batches)], ca, qposes)
-    sc.block_until_ready()
+    # end the window with a real host FETCH: block_until_ready over the
+    # tunnel has been observed to return before the dependency chain
+    # actually executed (a 33k-fps reading), while a value fetch cannot
+    # lie — it transfers bytes produced by the final program
+    jax.device_get(sc)
     jit_fps = n_jit / (time.perf_counter() - t0)
     log(f"jit step ceiling {jit_fps:.1f} fps")
     RESULTS["jit_fps"] = jit_fps
@@ -430,12 +442,15 @@ def bench_lm(chunks: int = 6, chunk: int = 10):
         run = get_run(prob_t)
         st = create_lm_state(prob_t)
         st = run(prob_t, st, cams)        # compile
-        st.cost.block_until_ready()
+        jax.device_get(st.cost)
+        for _ in range(3):                # past the per-program slow window
+            st = run(prob_t, st, cams)
+        jax.device_get(st.cost)
         st = create_lm_state(prob_t)
         t0 = time.perf_counter()
         for _ in range(chunks):
             st = run(prob_t, st, cams)
-        st.cost.block_until_ready()
+        jax.device_get(st.cost)           # real host fetch ends the window
         dt = time.perf_counter() - t0
         out[name] = chunks * chunk / dt
         log(f"lm[{name}]: {out[name]:.1f} iters/s")

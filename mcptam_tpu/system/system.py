@@ -588,11 +588,17 @@ class System:
             else:
                 out.extend(self._drain_batch(entry, do_actions=True))
 
-        # map-maker tick — one slice per batch
-        budget = self.mcfg.duty_budget_ms
-        self.ms = self.mapmaker.step(
-            self.ms, budget_s=budget * 1e-3 if budget > 0 else None
-        )
+        # map-maker tick — one slice per batch (or every tick_every-th
+        # batch: on a single chip BA chunks serialize with tracking, so
+        # the tick rate is the throughput/convergence-latency dial; the
+        # reference's dedicated map-maker thread has no such coupling)
+        self._batch_count = getattr(self, "_batch_count", 0) + 1
+        if self._batch_count % max(int(getattr(self, "tick_every", 1)), 1) \
+                == 0:
+            budget = self.mcfg.duty_budget_ms
+            self.ms = self.mapmaker.step(
+                self.ms, budget_s=budget * 1e-3 if budget > 0 else None
+            )
         if any(i.added_mkf for i in out):
             self.mapmaker.on_map_changed()
         if self.mapmaker.reset_requested:

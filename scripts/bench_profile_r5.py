@@ -24,20 +24,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402  (the bench helpers ARE the harness)
 
 
-def run_for_B(B: int, lines: list):
+def run_for_B(B: int, lines: list, chunk: int = 4, tick: int = 1):
     import jax.numpy as jnp
     bench.B = B
+    bench.BA_CHUNK = chunk
+    bench.TICK_EVERY = tick
     ctx = {}
     t0 = time.monotonic()
     bench.stage_jit_step(ctx)
     jit_fps = bench.RESULTS["jit_fps"]
-    lines.append(f"- B={B}: jit-step ceiling **{jit_fps:.1f} fps** "
-                 f"({1e3 / jit_fps:.2f} ms/frame)")
+    lines.append(f"- B={B} chunk={chunk} tick={tick}: jit-step ceiling "
+                 f"**{jit_fps:.1f} fps** ({1e3 / jit_fps:.2f} ms/frame)")
 
     # full compile pass + warmup + the standard timed e2e
     bench.stage_e2e(ctx)
     e2e = bench.RESULTS["e2e_fps"]
-    lines.append(f"- B={B}: full e2e **{e2e:.2f} fps** "
+    lines.append(f"- B={B} chunk={chunk} tick={tick}: full e2e **{e2e:.2f} fps** "
                  f"({1e3 / e2e:.2f} ms/frame; mean_found "
                  f"{bench.RESULTS['mean_found']:.0f}, ate "
                  f"{bench.RESULTS['ate_m']:.2e} m)")
@@ -59,10 +61,10 @@ def run_for_B(B: int, lines: list):
         pipe = n_frames / (time.perf_counter() - t1)
     finally:
         sys_.mapmaker.step = mm_step
-    lines.append(f"- B={B}: pipeline-only e2e **{pipe:.2f} fps** "
+    lines.append(f"- B={B} chunk={chunk} tick={tick}: pipeline-only e2e **{pipe:.2f} fps** "
                  f"({1e3 / pipe:.2f} ms/frame)")
     lines.append(
-        f"- B={B} attribution: step {1e3 / jit_fps:.2f} ms + "
+        f"- B={B} chunk={chunk} tick={tick} attribution: step {1e3 / jit_fps:.2f} ms + "
         f"host/publish {1e3 / pipe - 1e3 / jit_fps:.2f} ms + "
         f"map-maker interleave {1e3 / e2e - 1e3 / pipe:.2f} ms "
         f"= {1e3 / e2e:.2f} ms/frame"
@@ -74,15 +76,25 @@ def run_for_B(B: int, lines: list):
 def main():
     bench._enable_device_compile_cache()
     bench.BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3000"))
-    Bs = [int(a) for a in sys.argv[1:]] or [8]
-    lines = [f"\n## Profile run ({time.strftime('%Y-%m-%d %H:%M')}, "
-             f"1x TPU v5e via tunnel)\n"]
-    for B in Bs:
-        run_for_B(B, lines)
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "PROFILE_r05.md"), "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print("\n".join(lines))
+    specs = sys.argv[1:] or ["8:4"]
+    md = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PROFILE_r05.md")
+    with open(md, "a") as f:
+        f.write(f"\n## Profile run ({time.strftime('%Y-%m-%d %H:%M')}, "
+                f"1x TPU v5e via tunnel)\n\n")
+    for spec in specs:
+        parts = (spec.split(":") + ["4", "1"])[:3]
+        lines = []
+        try:
+            run_for_B(int(parts[0]), lines, chunk=int(parts[1]),
+                      tick=int(parts[2]))
+        except Exception as e:                 # transient tunnel errors
+            lines.append(f"- {spec}: FAILED ({type(e).__name__}: "
+                         f"{str(e)[:120]})")
+        # append PER CONFIG so a mid-sweep tunnel error loses nothing
+        with open(md, "a") as f:
+            f.write("\n".join(lines) + "\n")
+        print("\n".join(lines), flush=True)
 
 
 if __name__ == "__main__":
