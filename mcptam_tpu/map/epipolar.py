@@ -42,6 +42,88 @@ MIN_EPI_ANGLE = 0.05
 MAX_EPI_ANGLE = jnp.pi / 3
 
 
+def auto_hypothesis_budget(cams: CameraModel, cam_from_base: SE3,
+                           finest_level: int = 0,
+                           kf_baseline: float = 0.0,
+                           buckets: tuple = (32, 64, 128)) -> int:
+    """Rig-static arc-sampling budget approximating the reference's
+    adaptive ~3 px stepping (dAngleStep = OnePixelAngle * LevelScale * 3,
+    src/MapMakerServerBase.cc:700-714): its hypothesis count GROWS with
+    arc length, while the XLA kernel samples a STATIC ``n_hypotheses``
+    uniformly.  This helper closes the gap without dynamic shapes — it
+    reproduces the kernel's arc construction for every ordered camera
+    pair at the central source ray, measures each arc in source-level
+    pixels, and returns the smallest bucket that samples the longest arc
+    at <= 3 px (the last bucket if none suffices).  Resolved ONCE per
+    rig (host side, at map-maker setup), so the compiled program count
+    is unchanged.
+
+    kf_baseline > 0 additionally checks a same-camera pair displaced by
+    that distance — the "other"-MKF region's typical inter-keyframe
+    baseline (max_scaled_mkf_dist x scene depth).
+
+    Close rigs resolve to the 32 floor (a blanket 64 was measured to add
+    marginal triangulations on the close-rig scene, see config.py); wide
+    baselines bucket up toward reference density.
+    """
+    import numpy as np
+    C = int(cam_from_base.t.shape[0])
+    scale = 2.0 ** finest_level
+
+    def _host(x):
+        return np.asarray(jax.device_get(x), np.float64)
+
+    pairs = [(s, t, None) for s in range(C) for t in range(C) if s != t]
+    if kf_baseline > 0.0:
+        pairs += [(c, c, kf_baseline) for c in range(C)]
+
+    needed = 1
+    for s, t, shift in pairs:
+        cam_s = jax.tree_util.tree_map(lambda a: a[s], cams)
+        pose_s = jax.tree_util.tree_map(lambda a: a[s], cam_from_base)
+        pose_t = jax.tree_util.tree_map(lambda a: a[t], cam_from_base)
+        if shift is not None:
+            pose_t = SE3(R=pose_t.R,
+                         t=pose_t.t + jnp.asarray([shift, 0.0, 0.0]))
+        center = jnp.asarray([float(cam_s.center[0]),
+                              float(cam_s.center[1])])
+        ray_sc = _host(unproject(cam_s, center))
+        step_px = _host(unproject(cam_s, center + jnp.asarray([scale, 0.0])))
+        one_px = np.arccos(np.clip(
+            np.dot(ray_sc, step_px / max(np.linalg.norm(step_px), 1e-12)),
+            -1.0, 1.0))
+        if one_px <= 1e-9:
+            continue
+        # kernel geometry (epipolar_match.one) at the central ray
+        Rs, ts_ = _host(pose_s.R), _host(pose_s.t)
+        Rt, tt = _host(pose_t.R), _host(pose_t.t)
+        R_rel = Rt @ Rs.T                      # target <- source rotation
+        t_rel = tt - R_rel @ ts_
+        line_dir_tc = R_rel @ ray_sc
+        cam_center_sc = Rs @ (-Rt.T @ tt) + ts_
+        sep = np.linalg.norm(cam_center_sc)
+        if sep <= 1e-6:
+            continue
+        src_angle = np.arccos(np.clip(
+            np.dot(cam_center_sc, ray_sc) / sep, -1.0, 1.0))
+        min_tgt = np.pi - src_angle - float(MAX_EPI_ANGLE)
+        start_depth = max(sep * np.sin(min_tgt) / np.sin(float(MAX_EPI_ANGLE)),
+                          0.2)
+        max_tgt = np.pi - src_angle - MIN_EPI_ANGLE
+        end_depth = max(sep * np.sin(max_tgt) / np.sin(MIN_EPI_ANGLE),
+                        start_depth * 1.01)
+        vA = t_rel + start_depth * line_dir_tc
+        vB = t_rel + end_depth * line_dir_tc
+        vA = vA / max(np.linalg.norm(vA), 1e-9)
+        vB = vB / max(np.linalg.norm(vB), 1e-9)
+        arc = np.arccos(np.clip(np.dot(vA, vB), -1.0, 1.0))
+        needed = max(needed, int(np.ceil(arc / (3.0 * one_px))) + 1)
+    for b in buckets:
+        if needed <= b:
+            return int(b)
+    return int(buckets[-1])
+
+
 def triangulate_midpoint(o1, d1, o2, d2):
     """World point closest to both rays (origin o, unit direction d).
     Solves the 2x2 system for ray parameters; replaces the reference's
@@ -200,16 +282,22 @@ def epipolar_match(ms: MapState, cams: CameraModel,
         best = jnp.argmin(hyp_ssd)
         best_ssd = hyp_ssd[best]
         any_found = jnp.isfinite(best_ssd)
-        # ambiguity (ref :798-825): every match within 10% of the best
-        # must sit within one step of it, at most 3 close.  The
-        # reference's step is ~3 source-level px (dAngleStep =
-        # OnePixelAngle() * LevelScale * 3); ours is the NH-budget's
-        # uniform step.  The window takes the TIGHTER of the two: on
-        # short arcs (budget step < 3 px) that is exactly the historical
-        # +-1-index rule — measured to filter marginal matches this
-        # scene's tracker quality depends on — while on long arcs the
-        # reference's 3-px cap keeps a second corner farther along the
-        # arc from slipping inside a coarse +-1-index window.
+        # ambiguity (ref :798-825): the reference demands every match
+        # within 10% of the best be ADJACENT to it at its ~3 px stepping
+        # (dAngleStep = OnePixelAngle() * LevelScale * 3), at most 3
+        # close.  That index-adjacency rule is a proxy for CORNER
+        # IDENTITY: at 3 px steps with a radius-3 corner search, only
+        # adjacent hypotheses can converge to the same target corner — a
+        # close score elsewhere means a DIFFERENT corner matches almost
+        # as well.  Applied verbatim at other densities the proxy breaks
+        # (a dense budget puts many hypotheses on the same corner and
+        # rejects it as "ambiguous"), so the rule is evaluated in corner
+        # space directly, which is density-invariant:
+        #   * a close-scoring match at a different corner -> ambiguous;
+        #   * close matches at the SAME corner are the expected search
+        #     overlap, tolerated within the radius-3 reach plus one step
+        #     of the best hypothesis — beyond that the match is depth-
+        #     unconstrained (the reference's far-adjacent reject).
         # right_nc sits one LEVEL pixel (`scale` root px) from the root
         # ray, so this angle already carries the LevelScale factor.
         one_px_lvl_angle = jnp.arccos(jnp.clip(
@@ -218,12 +306,22 @@ def epipolar_match(ms: MapState, cams: CameraModel,
             -1.0, 1.0,
         ))
         step = max_angle / (NH - 1.0)
-        window = jnp.minimum(step, 3.0 * one_px_lvl_angle)
         close = hyp_ok & (hyp_ssd <= best_ssd * 1.1 + 1e-6)
-        far_close = close & (
-            jnp.abs(angles - angles[best]) > window * (1.0 + 1e-5)
+        pos_l0 = level_zero_pos(hyp_pos, hyp_lvl.astype(jnp.float32)[:, None])
+        d_corner = jnp.max(jnp.abs(pos_l0 - pos_l0[best]), axis=-1)
+        same_corner = d_corner <= 2.0 * (2.0 ** hyp_lvl[best])
+        rival = close & ~same_corner
+        # radius-3 search reach is 3 px at the TARGET SEARCH level; the
+        # per-source-level pixel angle scales by 2^(slvl - level)
+        lvl_gap = jnp.maximum(
+            2.0 ** (hyp_lvl[best].astype(jnp.float32)
+                    - level.astype(jnp.float32)), 1.0,
         )
-        unambiguous = (jnp.sum(far_close) == 0) & (jnp.sum(close) <= 3)
+        overlap = 3.0 * one_px_lvl_angle * lvl_gap + step
+        depth_wide = close & same_corner & (
+            jnp.abs(angles - angles[best]) > overlap * (1.0 + 1e-5)
+        )
+        unambiguous = (jnp.sum(rival) == 0) & (jnp.sum(depth_wide) == 0)
 
         # subpixel on the best match in the target keyframe
         pos_sub, conv = subpix_refine_w(
