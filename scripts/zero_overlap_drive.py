@@ -65,6 +65,11 @@ BOARD3 = inner_corner_points(SQUARES, SQ)
 BOARD2 = BOARD3.reshape(-1, 3)[:, :2]
 BOARD_CENTER = np.array([SQUARES[0] * SQ / 2, SQUARES[1] * SQ / 2, 0.0])
 
+# NOTE round 5 tried shrinking this drive (36 frames, faster sweep) to
+# cut suite wall time: camera 2 lost tracking by the end and calibration
+# missed the gates (rot_err 0.0112, trans_err 0.0201, running=[T,F]).
+# The 48-frame trajectory is load-bearing; the suite keeps it behind the
+# `slow` marker instead.
 N_FRAMES = 48
 ROT_START, ROT_END = 4, 20
 
