@@ -37,6 +37,11 @@ def main(argv=None):
                    help="frames kept in flight before their results are "
                         "fetched (hides the device->host round-trip on "
                         "remote accelerators)")
+    p.add_argument("--mm-tick-every", type=int, default=1,
+                   help="run the map-maker tick every Nth batch dispatch "
+                        "(BA chunks serialize with tracking on one chip; "
+                        "2 with --batch 8 measured 202 fps vs 170 at 1, "
+                        "PROFILE_r05.md)")
     args = p.parse_args(argv)
     ensure_jax_platform(args.platform)
 
@@ -46,6 +51,7 @@ def main(argv=None):
         build_system_inputs(args)
     system = System(cams, cam_from_base, cams_sbi, H, W, masks=masks,
                     pipeline_depth=args.pipeline)
+    system.tick_every = args.mm_tick_every
     if args.load_map:
         from mcptam_tpu.system.mapio import load_map
         system.ms = load_map(args.load_map, system.ms)
