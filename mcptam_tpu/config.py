@@ -146,6 +146,14 @@ class MapMakerConfig:
     # triangulations on the synthetic close-rig scene (tracking err
     # 0.03 -> 0.05), so denser is not blindly better.
     epi_max_hypotheses: int = 32
+    # ambiguity-rule formulation for the epipolar arc: False = the
+    # reference's index-adjacency test (proven on the close-rig scenes,
+    # the right rule at <= 32 samples); True = the density-invariant
+    # corner-space rule dense auto-bucketed budgets need (the index
+    # proxy self-sabotages when sampling is denser than ~3 px — see
+    # map/epipolar.py).  _resolve_epi_budget sets this automatically
+    # when an AUTO budget buckets above 32.
+    epi_corner_ambiguity: bool = False
     max_new_points_per_level: tuple = (100, 100, 100, 100)
     # reject a new MKF if no level>=2 point could be triangulated against
     # the map (sbLargePointTest, src/MapMakerServerBase.cc:63,374,397-401)

@@ -148,7 +148,8 @@ def epipolar_match(ms: MapState, cams: CameraModel,
                    src_mkf, src_cam, tgt_mkf, tgt_cam,
                    level, xy_level, want,
                    max_ssd: float = MAX_SSD,
-                   n_hypotheses: int = N_HYPOTHESES):
+                   n_hypotheses: int = N_HYPOTHESES,
+                   corner_ambiguity: bool = False):
     """Batched epipolar candidate matching.
 
     All index args are (Q,) arrays; xy_level is (Q,2) source-level coords.
@@ -282,22 +283,29 @@ def epipolar_match(ms: MapState, cams: CameraModel,
         best = jnp.argmin(hyp_ssd)
         best_ssd = hyp_ssd[best]
         any_found = jnp.isfinite(best_ssd)
-        # ambiguity (ref :798-825): the reference demands every match
-        # within 10% of the best be ADJACENT to it at its ~3 px stepping
-        # (dAngleStep = OnePixelAngle() * LevelScale * 3), at most 3
-        # close.  That index-adjacency rule is a proxy for CORNER
-        # IDENTITY: at 3 px steps with a radius-3 corner search, only
-        # adjacent hypotheses can converge to the same target corner — a
-        # close score elsewhere means a DIFFERENT corner matches almost
-        # as well.  Applied verbatim at other densities the proxy breaks
-        # (a dense budget puts many hypotheses on the same corner and
-        # rejects it as "ambiguous"), so the rule is evaluated in corner
-        # space directly, which is density-invariant:
-        #   * a close-scoring match at a different corner -> ambiguous;
-        #   * close matches at the SAME corner are the expected search
-        #     overlap, tolerated within the radius-3 reach plus one step
-        #     of the best hypothesis — beyond that the match is depth-
-        #     unconstrained (the reference's far-adjacent reject).
+        # ambiguity (ref :798-825): every match within 10% of the best
+        # must sit near it, few in number.  TWO formulations:
+        #
+        # corner_ambiguity=False (default, reference-faithful): the
+        # index-adjacency rule — close matches within min(step, 3 src px)
+        # of the best, at most 3 close.  On short arcs (step < 3 px) this
+        # is the historical +-1-index strictness, which measurably
+        # filters marginal matches the zero-overlap calibration scene's
+        # tracker quality depends on (round 5 re-confirmed: swapping it
+        # out collapsed camera-2 tracking in that drive).
+        #
+        # corner_ambiguity=True (dense budgets): the index proxy breaks
+        # when sampling is denser than the reference's 3 px stepping — a
+        # dense budget puts many hypotheses on the SAME corner and the
+        # +-1-index rule rejects it as "ambiguous" (measured 58 -> 22
+        # matches from NH=32 -> 128).  Evaluated in corner space the rule
+        # is density-invariant: a close score at a DIFFERENT corner is
+        # ambiguous; same-corner overlap is tolerated within the
+        # level-scaled radius-3 search reach plus one step (beyond that
+        # the match is depth-unconstrained).  auto_hypothesis_budget
+        # rigs that bucket above 32 switch to this rule (see
+        # system/mapmaker.py::_resolve_epi_budget).
+        #
         # right_nc sits one LEVEL pixel (`scale` root px) from the root
         # ray, so this angle already carries the LevelScale factor.
         one_px_lvl_angle = jnp.arccos(jnp.clip(
@@ -307,21 +315,29 @@ def epipolar_match(ms: MapState, cams: CameraModel,
         ))
         step = max_angle / (NH - 1.0)
         close = hyp_ok & (hyp_ssd <= best_ssd * 1.1 + 1e-6)
-        pos_l0 = level_zero_pos(hyp_pos, hyp_lvl.astype(jnp.float32)[:, None])
-        d_corner = jnp.max(jnp.abs(pos_l0 - pos_l0[best]), axis=-1)
-        same_corner = d_corner <= 2.0 * (2.0 ** hyp_lvl[best])
-        rival = close & ~same_corner
-        # radius-3 search reach is 3 px at the TARGET SEARCH level; the
-        # per-source-level pixel angle scales by 2^(slvl - level)
-        lvl_gap = jnp.maximum(
-            2.0 ** (hyp_lvl[best].astype(jnp.float32)
-                    - level.astype(jnp.float32)), 1.0,
-        )
-        overlap = 3.0 * one_px_lvl_angle * lvl_gap + step
-        depth_wide = close & same_corner & (
-            jnp.abs(angles - angles[best]) > overlap * (1.0 + 1e-5)
-        )
-        unambiguous = (jnp.sum(rival) == 0) & (jnp.sum(depth_wide) == 0)
+        if corner_ambiguity:
+            pos_l0 = level_zero_pos(hyp_pos,
+                                    hyp_lvl.astype(jnp.float32)[:, None])
+            d_corner = jnp.max(jnp.abs(pos_l0 - pos_l0[best]), axis=-1)
+            same_corner = d_corner <= 2.0 * (2.0 ** hyp_lvl[best])
+            rival = close & ~same_corner
+            # radius-3 search reach is 3 px at the TARGET SEARCH level;
+            # the per-source-level pixel angle scales by 2^(slvl - level)
+            lvl_gap = jnp.maximum(
+                2.0 ** (hyp_lvl[best].astype(jnp.float32)
+                        - level.astype(jnp.float32)), 1.0,
+            )
+            overlap = 3.0 * one_px_lvl_angle * lvl_gap + step
+            depth_wide = close & same_corner & (
+                jnp.abs(angles - angles[best]) > overlap * (1.0 + 1e-5)
+            )
+            unambiguous = (jnp.sum(rival) == 0) & (jnp.sum(depth_wide) == 0)
+        else:
+            window = jnp.minimum(step, 3.0 * one_px_lvl_angle)
+            far_close = close & (
+                jnp.abs(angles - angles[best]) > window * (1.0 + 1e-5)
+            )
+            unambiguous = (jnp.sum(far_close) == 0) & (jnp.sum(close) <= 3)
 
         # subpixel on the best match in the target keyframe
         pos_sub, conv = subpix_refine_w(
@@ -348,14 +364,15 @@ def epipolar_match(ms: MapState, cams: CameraModel,
 def create_epipolar_points(ms: MapState, cams: CameraModel,
                            src_mkf, src_cam, tgt_mkf, tgt_cam,
                            level, xy_level, want, max_ssd: float = MAX_SSD,
-                           n_hypotheses: int = N_HYPOTHESES):
+                           n_hypotheses: int = N_HYPOTHESES,
+                           corner_ambiguity: bool = False):
     """Run epipolar matching and commit the successful candidates as map
     points with ROOT(source) + EPIPOLAR(target) measurements."""
     from mcptam_tpu.map.builder import add_points, add_measurements
 
     ok, pos_w, uv_tgt, tgt_level = epipolar_match(
         ms, cams, src_mkf, src_cam, tgt_mkf, tgt_cam, level, xy_level, want,
-        max_ssd, n_hypotheses,
+        max_ssd, n_hypotheses, corner_ambiguity,
     )
     ms, slots, created = add_points(
         ms, cams,

@@ -103,6 +103,7 @@ def _epi_pass(ms, cams, mkf_idx, feats, levels, region: str, cam_active,
     made_total = jnp.zeros((), jnp.int32)
     tgts = [closest_kf(ms, mkf_idx, c, region) for c in range(C)]
     nh = mcfg.epi_max_hypotheses
+    corner = mcfg.epi_corner_ambiguity
     for level in levels:
         xs, wants, camv, tmv, tcv = [], [], [], [], []
         for c in range(C):
@@ -129,6 +130,7 @@ def _epi_pass(ms, cams, mkf_idx, feats, levels, region: str, cam_active,
                     src_mkf=jnp.broadcast_to(mkf_idx, xy.shape[:1]),
                     src_cam=camr, tgt_mkf=tm, tgt_cam=tc,
                     level=lvlv, xy_level=xy, want=want, n_hypotheses=nh,
+                    corner_ambiguity=corner,
                 )
                 return ms, jnp.sum(made)
             ms, mades = jax.lax.scan(
@@ -155,6 +157,7 @@ def _epi_pass(ms, cams, mkf_idx, feats, levels, region: str, cam_active,
             xy_level=xy,
             want=want,
             n_hypotheses=nh,
+            corner_ambiguity=corner,
         )
         made_total = made_total + jnp.sum(made)
     return ms, made_total
@@ -200,6 +203,7 @@ def init_from_mkf(ms: MapState, cams: CameraModel, feats: FrameFeatures,
                     xy_level=xy,
                     want=want,
                     n_hypotheses=mcfg.epi_max_hypotheses,
+                    corner_ambiguity=mcfg.epi_corner_ambiguity,
                 )
             else:
                 cam_c = jax.tree_util.tree_map(lambda a: a[c], cams)

@@ -216,7 +216,14 @@ class MapMaker:
             )
         except Exception:
             nh = 32
-        self.mcfg = dataclasses.replace(self.mcfg, epi_max_hypotheses=nh)
+        # dense budgets need the corner-space ambiguity rule (the
+        # reference-faithful index rule self-sabotages above ~3 px
+        # sampling density; map/epipolar.py)
+        self.mcfg = dataclasses.replace(
+            self.mcfg, epi_max_hypotheses=nh,
+            epi_corner_ambiguity=self.mcfg.epi_corner_ambiguity
+            or (nh > 32),
+        )
 
     def _integrate(self, ms, feats, pose, result, cam_active):
         """Jitted MKF integration (one device program instead of eager

@@ -155,12 +155,18 @@ def test_epipolar_wide_baseline_needs_denser_arc(world):
         xy_level=xy,
         want=want,
     )
+    # the dense auto budget pairs with the corner-space ambiguity rule
+    # (mapmaker._resolve_epi_budget flips it whenever auto buckets above
+    # 32): the reference-faithful index rule self-sabotages at denser-
+    # than-3px sampling (many hypotheses land on the SAME corner and get
+    # rejected as "ambiguous")
     ok32, _, _, _ = jax.jit(
         lambda ms, cams: epipolar_match(ms, cams, **args, n_hypotheses=32)
     )(ms, cams)
     okd, posd, _, _ = jax.jit(
         lambda ms, cams: epipolar_match(ms, cams, **args,
-                                        n_hypotheses=nh_auto)
+                                        n_hypotheses=nh_auto,
+                                        corner_ambiguity=True)
     )(ms, cams)
     n32, nd = int(jnp.sum(ok32)), int(jnp.sum(okd))
     # the auto-bucketed budget samples this long arc at reference density
