@@ -273,3 +273,29 @@ def test_slam_loop(world):
     assert n_mkfs_added >= 1, n_mkfs_added
     assert max(errs) < 0.05, errs
     assert int(jnp.sum(ms.points.valid)) > 100
+
+
+def test_auto_budget_resolution_wires_corner_rule(world):
+    """epi_max_hypotheses=0 resolves ONCE from rig geometry at map-maker
+    setup; a dense resolution (>32) also enables the corner-space
+    ambiguity rule (the index rule self-sabotages at dense sampling)."""
+    import dataclasses
+    from mcptam_tpu.system.mapmaker import MapMaker
+
+    cams, cam_from_base, _ = world
+    # close rig at this module's low resolution -> stays at the 32 floor
+    mm = MapMaker(cams=cams, mcfg=MapMakerConfig(epi_max_hypotheses=0))
+    ms = create_map_state(H, W, C, cam_from_base, 256, 4, 1024)
+    mm._resolve_epi_budget(ms)
+    assert mm.mcfg.epi_max_hypotheses == 32
+    assert not mm.mcfg.epi_corner_ambiguity
+
+    # wide parallel pair at VGA -> buckets up AND flips the corner rule
+    cams_w, _ = make_rig(2, 480, 640, spread_deg=25.0)
+    cfb_w = SE3(R=jnp.stack([jnp.eye(3)] * 2),
+                t=jnp.stack([jnp.zeros(3), jnp.asarray([1.2, 0.0, 0.0])]))
+    mm2 = MapMaker(cams=cams_w, mcfg=MapMakerConfig(epi_max_hypotheses=0))
+    ms2 = create_map_state(480, 640, 2, cfb_w, 256, 4, 1024)
+    mm2._resolve_epi_budget(ms2)
+    assert mm2.mcfg.epi_max_hypotheses >= 64
+    assert mm2.mcfg.epi_corner_ambiguity

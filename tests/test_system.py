@@ -443,3 +443,21 @@ def test_pipeline_reloc_retries_after_failed_attempt():
     for _ in range(3):
         _drain_one(sys_)
     assert len(calls) == 3, f"failed reloc suppressed retries ({len(calls)})"
+
+
+def test_mm_tick_every_skips_ticks():
+    """tick_every=N runs the map-maker tick on every Nth batch dispatch
+    only (the single-chip BA-interleave duty dial, PROFILE_r05.md)."""
+    sys_ = _pipeline_system()
+    sys_.pipeline_depth = 0
+    sys_.tick_every = 3
+    calls = []
+    orig = sys_.mapmaker.step
+    sys_.mapmaker.step = lambda ms, budget_s=None: (calls.append(1), ms)[1]
+    images = jnp.zeros((2, C, H, W), jnp.uint8)
+    try:
+        for _ in range(6):
+            sys_.process_frames(images)
+    finally:
+        sys_.mapmaker.step = orig
+    assert len(calls) == 2, calls
